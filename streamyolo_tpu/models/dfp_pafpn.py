@@ -1,0 +1,131 @@
+"""DFP-PAFPN: PAFPN neck + Dual-Flow Perception fusion, TPU-native NHWC.
+
+Capability parity with `/root/reference/exps/model/dfp_pafpn.py:13-259`:
+
+  * ``off_pipe`` (training / batched offline eval): the input is a 6-channel
+    (current ++ support) image; the shared backbone+PAFPN runs on both frames
+    and the per-level outputs are fused by the ``jian{2,1,0}`` half-channel
+    1x1 convs: ``concat(jian(cur), jian(sup)) + cur``
+    (`dfp_pafpn.py:168-170`). A 3-channel input is self-duplicated (the
+    reference's GFLOPs-count mode, `dfp_pafpn.py:234-238`).
+  * ``on_pipe`` (online streaming): runs the backbone ONCE on the current
+    frame and fuses with the cached previous-frame PAFPN outputs — the DFP
+    buffer (`dfp_pafpn.py:177-228`). The buffer is an explicit jit-carried
+    pytree of three NHWC tensors that stays resident in HBM between frames;
+    ``node='star'`` (first frame) self-fuses, ``node='buffer'`` fuses with the
+    carry and returns the new carry.
+
+The upsample uses exact torch-'nearest' semantics (``ops.resize.resize_nearest``)
+because at 600x960 the stride-16 level (38x60) upsamples to a 75x120 skip —
+a non-integer scale the reference handles with ``F.interpolate(size=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from streamyolo_tpu.models.darknet import CSPDarknet
+from streamyolo_tpu.nn.blocks import BaseConv, CSPLayer, DWConv
+from streamyolo_tpu.ops.resize import resize_nearest
+
+# The DFP feature buffer: (pan_out2 /8, pan_out1 /16, pan_out0 /32), NHWC.
+Buffer = Tuple[jax.Array, jax.Array, jax.Array]
+
+
+class DFPPAFPN(nn.Module):
+    depth: float = 1.0
+    width: float = 1.0
+    in_features: Sequence[str] = ("dark3", "dark4", "dark5")
+    in_channels: Sequence[int] = (256, 512, 1024)
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ic = self.in_channels
+        w = self.width
+        Conv = DWConv if self.depthwise else BaseConv
+        kw = dict(act=self.act, dtype=self.dtype)
+        csp_kw = dict(
+            shortcut=False, depthwise=self.depthwise, act=self.act, dtype=self.dtype
+        )
+        n = round(3 * self.depth)
+
+        self.backbone = CSPDarknet(
+            self.depth, w, depthwise=self.depthwise, act=self.act, dtype=self.dtype
+        )
+        self.lateral_conv0 = BaseConv(int(ic[1] * w), 1, 1, **kw)
+        self.C3_p4 = CSPLayer(int(ic[1] * w), n=n, **csp_kw)
+        self.reduce_conv1 = BaseConv(int(ic[0] * w), 1, 1, **kw)
+        self.C3_p3 = CSPLayer(int(ic[0] * w), n=n, **csp_kw)
+        self.bu_conv2 = Conv(int(ic[0] * w), 3, 2, **kw)
+        self.C3_n3 = CSPLayer(int(ic[1] * w), n=n, **csp_kw)
+        self.bu_conv1 = Conv(int(ic[1] * w), 3, 2, **kw)
+        self.C3_n4 = CSPLayer(int(ic[2] * w), n=n, **csp_kw)
+        # DFP half-channel fusion convs (`dfp_pafpn.py:82-106`)
+        self.jian2 = Conv(int(ic[0] * w) // 2, 1, 1, **kw)
+        self.jian1 = Conv(int(ic[1] * w) // 2, 1, 1, **kw)
+        self.jian0 = Conv(int(ic[2] * w) // 2, 1, 1, **kw)
+
+    def pafpn(self, x: jax.Array, *, train: bool = False) -> Buffer:
+        """Backbone + PAFPN on a single 3-channel frame -> per-level outputs
+        (pan_out2 /8, pan_out1 /16, pan_out0 /32). Weight-shared between the
+        current and support passes."""
+        feats = self.backbone(x, train=train)
+        x2, x1, x0 = (feats[f] for f in self.in_features)
+
+        fpn_out0 = self.lateral_conv0(x0, train=train)  # 1024->512 /32
+        f_out0 = resize_nearest(fpn_out0, x1.shape[1:3])
+        f_out0 = jnp.concatenate([f_out0, x1], axis=-1)
+        f_out0 = self.C3_p4(f_out0, train=train)  # 1024->512 /16
+
+        fpn_out1 = self.reduce_conv1(f_out0, train=train)  # 512->256 /16
+        f_out1 = resize_nearest(fpn_out1, x2.shape[1:3])
+        f_out1 = jnp.concatenate([f_out1, x2], axis=-1)
+        pan_out2 = self.C3_p3(f_out1, train=train)  # 512->256 /8
+
+        p_out1 = self.bu_conv2(pan_out2, train=train)  # 256->256 /16
+        p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
+        pan_out1 = self.C3_n3(p_out1, train=train)  # 512->512 /16
+
+        p_out0 = self.bu_conv1(pan_out1, train=train)  # 512->512 /32
+        p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
+        pan_out0 = self.C3_n4(p_out0, train=train)  # 1024->1024 /32
+
+        return pan_out2, pan_out1, pan_out0
+
+    def _dfp_fuse(self, cur: Buffer, sup: Buffer, *, train: bool = False) -> Buffer:
+        """concat(jian(cur), jian(sup)) + cur, per level (`dfp_pafpn.py:168-170`)."""
+        jians = (self.jian2, self.jian1, self.jian0)
+        return tuple(
+            jnp.concatenate([j(c, train=train), j(s, train=train)], axis=-1) + c
+            for j, c, s in zip(jians, cur, sup)
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,
+        buffer: Optional[Buffer] = None,
+        mode: str = "off_pipe",
+        *,
+        train: bool = False,
+    ):
+        assert mode in ("off_pipe", "on_pipe")
+        if mode == "off_pipe":
+            if x.shape[-1] == 3:  # GFLOPs-count mode: self-duplicate
+                cur_img = sup_img = x
+            else:
+                cur_img, sup_img = x[..., :3], x[..., 3:]
+            cur = self.pafpn(cur_img, train=train)
+            sup = self.pafpn(sup_img, train=train)
+            return self._dfp_fuse(cur, sup, train=train)
+
+        # on_pipe
+        cur = self.pafpn(x, train=train)
+        sup = cur if buffer is None else tuple(buffer)  # 'star' vs 'buffer' node
+        outputs = self._dfp_fuse(cur, sup, train=train)
+        return outputs, cur

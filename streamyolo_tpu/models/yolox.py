@@ -1,0 +1,66 @@
+"""StreamYOLO composite model (backbone + head), TPU-native.
+
+Capability parity with `/root/reference/exps/model/yolox.py:28-55`:
+
+  * ``mode='off_pipe'`` — 6-channel (current ++ support) input through the
+    DFP-PAFPN; in training the caller feeds the raw head outputs to
+    ``losses.streamyolo_losses`` (the loss is a pure function, not module
+    state); in eval the decoded per-anchor predictions are returned.
+  * ``mode='on_pipe'`` — 3-channel current frame + DFP buffer carry; returns
+    ``(decoded_outputs, new_buffer)``. The buffer is a pytree of three NHWC
+    feature maps that stays in HBM across frames (SURVEY.md §5.7).
+
+Unlike the torch reference there is no mutable ``self.training`` flag — the
+``train`` kwarg selects the branch, so each (mode, train) pair is its own
+jitted program with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import linen as nn
+
+from streamyolo_tpu.models.dfp_pafpn import Buffer, DFPPAFPN
+from streamyolo_tpu.models.heads import YOLOXHead, eval_outputs
+
+
+class StreamYOLO(nn.Module):
+    """Composes a DFP-PAFPN backbone and a decoupled head.
+
+    Built by the config factories (``Exp.get_model``) exactly like the
+    reference's ``YOLOX(backbone, head)`` construction
+    (`/root/reference/cfgs/s_s50_onex_dfp_tal_flip.py:34-55`).
+    """
+
+    backbone: nn.Module
+    head: nn.Module
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        buffer: Optional[Buffer] = None,
+        mode: str = "off_pipe",
+        *,
+        train: bool = False,
+    ):
+        assert mode in ("off_pipe", "on_pipe")
+        if mode == "off_pipe":
+            fpn_outs = self.backbone(x, mode="off_pipe", train=train)
+            outputs = self.head(fpn_outs, train=train)
+            if train:
+                # Raw per-level maps; the train step pairs them with
+                # losses.streamyolo_losses (reference threads targets through
+                # the head here, `yolox.py:36-47`).
+                return outputs
+            return eval_outputs(outputs, self.head.strides)
+
+        fpn_outs, buffer_ = self.backbone(x, buffer=buffer, mode="on_pipe", train=train)
+        outputs = self.head(fpn_outs, train=train)
+        return eval_outputs(outputs, self.head.strides), buffer_
+
+
+# Reference-surface alias (`exps/model/yolox.py` class name).
+YOLOX = StreamYOLO

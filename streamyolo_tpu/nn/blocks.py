@@ -1,0 +1,267 @@
+"""Canonical YOLOX-style conv blocks, TPU-native (NHWC, flax.linen).
+
+Functional re-design of the block vocabulary consumed by the reference model
+(`/root/reference/exps/model/darknet.py:7`, `dfp_pafpn.py:10`, `tal_head.py:16`
+import these from the external ``yolox==0.3`` package — see SURVEY.md §2.3):
+``BaseConv`` (conv + BN + SiLU), ``DWConv``, ``Bottleneck``, ``CSPLayer``,
+``Focus`` (space-to-depth stem), ``SPPBottleneck``, ``ResLayer``.
+
+TPU-first decisions:
+  * NHWC activations / HWIO kernels everywhere — the native XLA:TPU layout, so
+    convs tile straight onto the MXU without transposes.
+  * BN is kept as a separate affine op during training (XLA fuses
+    conv+BN+SiLU into one kernel); for serving, ``fold_conv_bn`` in
+    ``streamyolo_tpu.utils.fuse`` folds BN into conv weights ahead of time
+    (the analogue of ``yolox.utils.fuse_model``, used at
+    `/root/reference/tools/eval.py:175-177`).
+  * Submodule names mirror the reference state_dict paths (with ``.N`` list
+    indices flattened to ``_N``) so that the torch weight importer
+    (``streamyolo_tpu.utils.torch_import``) is a pure mechanical mapping.
+
+BatchNorm defaults match the reference override applied to every model config
+(eps=1e-3, torch momentum=0.03 ⇒ flax momentum=0.97,
+`/root/reference/cfgs/s_s50_onex_dfp_tal_flip.py:40-44`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Reference BN hyperparams: torch BatchNorm2d(eps=1e-3, momentum=0.03).
+# torch's `momentum` is the weight of the *new* batch statistic; flax's is the
+# weight of the *old* running statistic, hence 1 - 0.03.
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97
+
+
+def get_activation(name: str = "silu") -> Callable[[jax.Array], jax.Array]:
+    if name == "silu":
+        return jax.nn.silu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.1)
+    raise AttributeError(f"Unsupported act type: {name}")
+
+
+class BaseConv(nn.Module):
+    """Conv2d(bias=False) -> BatchNorm -> activation ("CBS" block).
+
+    Equivalent capability to yolox ``BaseConv`` (SURVEY.md §2.3). Padding is
+    the torch convention ``(ksize - 1) // 2`` so spatial dims follow
+    ``ceil(H / stride)`` exactly like the reference.
+    """
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        pad = (self.ksize - 1) // 2
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv followed by pointwise conv (yolox ``DWConv``)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_channels = x.shape[-1]
+        x = BaseConv(
+            out_channels=in_channels,
+            ksize=self.ksize,
+            stride=self.stride,
+            groups=in_channels,
+            act=self.act,
+            dtype=self.dtype,
+            name="dconv",
+        )(x, train=train)
+        x = BaseConv(
+            out_channels=self.out_channels,
+            ksize=1,
+            stride=1,
+            act=self.act,
+            dtype=self.dtype,
+            name="pconv",
+        )(x, train=train)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3 conv, optional residual (yolox ``Bottleneck``)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_channels = x.shape[-1]
+        hidden = int(self.out_channels * self.expansion)
+        y = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+            x, train=train
+        )
+        conv2_cls = DWConv if self.depthwise else BaseConv
+        y = conv2_cls(self.out_channels, 3, 1, act=self.act, dtype=self.dtype, name="conv2")(
+            y, train=train
+        )
+        if self.shortcut and in_channels == self.out_channels:
+            y = y + x
+        return y
+
+
+class ResLayer(nn.Module):
+    """Residual 1x1 -> 3x3 block with lrelu (yolox ``ResLayer``; used by the
+    legacy plain ``Darknet`` 21/53, `/root/reference/exps/model/darknet.py:10-94`)."""
+
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        mid = self.in_channels // 2
+        y = BaseConv(mid, 1, 1, act="lrelu", dtype=self.dtype, name="layer1")(
+            x, train=train
+        )
+        y = BaseConv(self.in_channels, 3, 1, act="lrelu", dtype=self.dtype, name="layer2")(
+            y, train=train
+        )
+        return x + y
+
+
+class CSPLayer(nn.Module):
+    """Cross-Stage-Partial layer: two 1x1 branches, ``n`` bottlenecks on one,
+    concat, 1x1 fuse (yolox ``CSPLayer`` / "C3").
+    """
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        hidden = int(self.out_channels * self.expansion)
+        x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
+            x, train=train
+        )
+        x2 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2")(
+            x, train=train
+        )
+        for i in range(self.n):
+            x1 = Bottleneck(
+                hidden,
+                shortcut=self.shortcut,
+                expansion=1.0,
+                depthwise=self.depthwise,
+                act=self.act,
+                dtype=self.dtype,
+                name=f"m_{i}",
+            )(x1, train=train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, dtype=self.dtype, name="conv3"
+        )(x, train=train)
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling: 1x1 reduce, parallel maxpools (5/9/13, stride
+    1, same padding), concat, 1x1 fuse (yolox ``SPPBottleneck``)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    activation: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_channels = x.shape[-1]
+        hidden = in_channels // 2
+        x = BaseConv(hidden, 1, 1, act=self.activation, dtype=self.dtype, name="conv1")(
+            x, train=train
+        )
+        pools = [
+            nn.max_pool(
+                x,
+                window_shape=(k, k),
+                strides=(1, 1),
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
+            )
+            for k in self.kernel_sizes
+        ]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.activation, dtype=self.dtype, name="conv2"
+        )(x, train=train)
+
+
+def space_to_depth_focus(x: jax.Array) -> jax.Array:
+    """2x2 space-to-depth with the yolox ``Focus`` channel ordering:
+    [top-left, bottom-left, top-right, bottom-right] along channels."""
+    tl = x[..., ::2, ::2, :]
+    bl = x[..., 1::2, ::2, :]
+    tr = x[..., ::2, 1::2, :]
+    br = x[..., 1::2, 1::2, :]
+    return jnp.concatenate([tl, bl, tr, br], axis=-1)
+
+
+class Focus(nn.Module):
+    """Focus stem: lossless 2x downsample via space-to-depth, then conv
+    (yolox ``Focus``). Turns (B, H, W, C) into (B, H/2, W/2, out)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = space_to_depth_focus(x)
+        return BaseConv(
+            self.out_channels,
+            self.ksize,
+            self.stride,
+            act=self.act,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train=train)

@@ -1,0 +1,163 @@
+"""Jittable fixed-shape batched NMS + postprocess.
+
+TPU-native replacement for the reference's dynamic-shape device NMS
+(``yolox.utils.postprocess`` at `/root/reference/exps/evaluators/
+onex_stream_evaluator.py:148-150` and ``torchvision.ops.batched_nms`` at
+`sAP/streamyolo/streamyolo_det.py:75-80`): confidence filter + class-aware
+greedy NMS, reformulated with static shapes (top-k candidate selection + a
+masked greedy sweep) so the whole serving path stays inside one jitted XLA
+program with no host sync per frame (SURVEY.md §7 "Jittable NMS").
+
+Semantics: identical box ordering to torch greedy NMS — candidates are sorted
+by score descending, each box suppresses lower-scored boxes with IoU >
+``nms_thre``; class-awareness via the coordinate-offset trick (same as
+torchvision ``batched_nms``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Large coordinate offset separating classes in class-aware NMS; bigger than
+# any image dimension we run (multiscale max is 16*70 = 1120 px).
+_CLASS_OFFSET = 8192.0
+
+
+def _iou_matrix_xyxy(boxes: jax.Array) -> jax.Array:
+    """[K,4] xyxy -> [K,K] IoU (torchvision convention: area = (x2-x1)*(y2-y1))."""
+    tl = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    br = jnp.minimum(boxes[:, None, 2:4], boxes[None, :, 2:4])
+    wh = jnp.clip(br - tl, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def nms_padded(boxes: jax.Array, valid: jax.Array, nms_thre: float) -> jax.Array:
+    """Greedy NMS over boxes already sorted by descending score.
+
+    Args:
+      boxes: [K, 4] xyxy (already class-offset if class-aware).
+      valid: [K] bool — padding / below-threshold entries.
+      nms_thre: IoU suppression threshold.
+
+    Returns [K] bool keep mask. Exactly the sequential greedy result.
+    """
+    k = boxes.shape[0]
+    iou = _iou_matrix_xyxy(boxes)
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        # If box i survives, suppress all later boxes overlapping it.
+        suppress = keep[i] & (iou[i] > nms_thre) & (idx > i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+    return keep
+
+
+def _postprocess_single(
+    pred: jax.Array,
+    num_classes: int,
+    conf_thre: float,
+    nms_thre: float,
+    pre_nms_topk: int,
+    class_agnostic: bool,
+) -> jax.Array:
+    """Single-image postprocess: pred [N, 5+C] (cx,cy,w,h,obj,cls...) ->
+    fixed [K, 8] rows (x1,y1,x2,y2,obj,cls_conf,cls,valid)."""
+    # corner conversion (yolox postprocess box_corner step)
+    half_wh = pred[:, 2:4] * 0.5
+    corners = jnp.concatenate(
+        [pred[:, :2] - half_wh, pred[:, :2] + half_wh], axis=-1
+    )
+    obj = pred[:, 4]
+    cls_probs = pred[:, 5 : 5 + num_classes]
+    cls_conf = jnp.max(cls_probs, axis=-1)
+    cls_pred = jnp.argmax(cls_probs, axis=-1).astype(pred.dtype)
+    scores = obj * cls_conf
+    conf_ok = scores >= conf_thre
+
+    k = min(pre_nms_topk, pred.shape[0])
+    top_scores, top_idx = jax.lax.top_k(jnp.where(conf_ok, scores, -1.0), k)
+    boxes_k = corners[top_idx]
+    valid_k = top_scores > 0.0
+
+    nms_boxes = boxes_k
+    if not class_agnostic:
+        offsets = cls_pred[top_idx][:, None] * _CLASS_OFFSET
+        nms_boxes = boxes_k + offsets
+    keep = nms_padded(nms_boxes, valid_k, nms_thre)
+
+    out = jnp.concatenate(
+        [
+            boxes_k,
+            obj[top_idx][:, None],
+            cls_conf[top_idx][:, None],
+            cls_pred[top_idx][:, None],
+            keep[:, None].astype(pred.dtype),
+        ],
+        axis=-1,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "conf_thre", "nms_thre", "pre_nms_topk", "class_agnostic"),
+)
+def postprocess_fixed(
+    prediction: jax.Array,
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    pre_nms_topk: int = 1000,
+    class_agnostic: bool = False,
+) -> jax.Array:
+    """Batched jittable postprocess: [B, N, 5+C] -> [B, K, 8] fixed-shape
+    detections, rows (x1, y1, x2, y2, obj, cls_conf, cls, valid)."""
+    fn = functools.partial(
+        _postprocess_single,
+        num_classes=num_classes,
+        conf_thre=conf_thre,
+        nms_thre=nms_thre,
+        pre_nms_topk=pre_nms_topk,
+        class_agnostic=class_agnostic,
+    )
+    return jax.vmap(fn)(prediction.astype(jnp.float32))
+
+
+def postprocess(
+    prediction,
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    pre_nms_topk: int = 1000,
+    class_agnostic: bool = False,
+) -> List[Optional[np.ndarray]]:
+    """Reference-surface wrapper: returns a per-image list of [n_i, 7] NumPy
+    arrays (x1,y1,x2,y2,obj,cls_conf,cls) or None — the exact contract of
+    ``yolox.utils.postprocess`` consumed by the evaluators."""
+    fixed = np.asarray(
+        postprocess_fixed(
+            jnp.asarray(prediction),
+            num_classes,
+            conf_thre,
+            nms_thre,
+            pre_nms_topk,
+            class_agnostic,
+        )
+    )
+    outputs: List[Optional[np.ndarray]] = []
+    for row in fixed:
+        kept = row[row[:, 7] > 0.5][:, :7]
+        outputs.append(kept if len(kept) else None)
+    return outputs

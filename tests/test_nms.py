@@ -1,0 +1,112 @@
+"""Jittable fixed-shape NMS vs a pure-NumPy greedy oracle (the dual-
+implementation-as-oracle pattern the reference itself uses, SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from streamyolo_tpu.ops.nms import nms_padded, postprocess, postprocess_fixed
+
+
+def np_greedy_nms(boxes, scores, thr):
+    """Sequential greedy NMS, torchvision semantics. Returns kept indices."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        tl = np.maximum(boxes[i, :2], boxes[:, :2])
+        br = np.minimum(boxes[i, 2:], boxes[:, 2:])
+        wh = np.clip(br - tl, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+        suppressed |= iou > thr
+    return np.array(keep)
+
+
+def random_boxes(rng, n, size=200.0):
+    cxy = rng.uniform(10, size, (n, 2))
+    wh = rng.uniform(5, 60, (n, 2))
+    return np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+
+
+def test_nms_padded_matches_greedy(rng):
+    for trial in range(5):
+        n = 64
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        sorted_boxes = boxes[order]
+        keep_mask = np.asarray(
+            nms_padded(jnp.asarray(sorted_boxes), jnp.ones(n, bool), 0.5)
+        )
+        got = set(order[np.where(keep_mask)[0]])
+        want = set(np_greedy_nms(boxes, scores, 0.5))
+        assert got == want
+
+
+def test_nms_respects_padding(rng):
+    boxes = random_boxes(rng, 16)
+    valid = np.zeros(16, bool)
+    valid[:4] = True
+    keep = np.asarray(nms_padded(jnp.asarray(boxes), jnp.asarray(valid), 0.5))
+    assert not keep[4:].any()
+
+
+def test_postprocess_class_aware(rng):
+    """Overlapping boxes of different classes must BOTH survive class-aware
+    NMS (the torchvision batched_nms offset trick)."""
+    n, ncls = 50, 8
+    pred = np.zeros((1, n, 5 + ncls), np.float32)
+    pred[0, :, 0:2] = 100.0  # identical centers
+    pred[0, :, 2:4] = 40.0
+    pred[0, :, 4] = 0.9
+    pred[0, :, 5] = 0.0
+    pred[0, 0, 5 + 0] = 0.8  # class 0
+    pred[0, 1, 5 + 1] = 0.7  # class 1 — overlaps class 0 box entirely
+    out = postprocess(pred, ncls, conf_thre=0.3, nms_thre=0.5, pre_nms_topk=16)
+    assert out[0] is not None and len(out[0]) == 2
+    got_classes = sorted(out[0][:, 6].astype(int).tolist())
+    assert got_classes == [0, 1]
+
+
+def test_postprocess_matches_oracle_end_to_end(rng):
+    n, ncls = 200, 8
+    pred = np.zeros((2, n, 5 + ncls), np.float32)
+    for b in range(2):
+        boxes = random_boxes(rng, n)
+        pred[b, :, 0:2] = (boxes[:, :2] + boxes[:, 2:]) / 2
+        pred[b, :, 2:4] = boxes[:, 2:] - boxes[:, :2]
+        pred[b, :, 4] = rng.uniform(0, 1, n)
+        pred[b, :, 5:] = rng.uniform(0, 1, (n, ncls))
+
+    conf_thre, nms_thre = 0.25, 0.5
+    outs = postprocess(pred, ncls, conf_thre, nms_thre, pre_nms_topk=n)
+    for b in range(2):
+        obj = pred[b, :, 4]
+        cls_conf = pred[b, :, 5:].max(-1)
+        cls_pred = pred[b, :, 5:].argmax(-1)
+        scores = obj * cls_conf
+        mask = scores >= conf_thre
+        idx = np.where(mask)[0]
+        cxy, wh = pred[b, idx, 0:2], pred[b, idx, 2:4]
+        corners = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+        offset = cls_pred[idx, None] * 8192.0
+        keep = np_greedy_nms(corners + offset, scores[idx], nms_thre)
+        want = idx[keep]
+        got = outs[b]
+        assert got is not None and len(got) == len(want)
+        # compare the surviving (box, class) sets
+        want_boxes = corners[keep]
+        got_sorted = got[np.lexsort(got[:, :2].T)]
+        want_sorted = want_boxes[np.lexsort(want_boxes[:, :2].T)]
+        np.testing.assert_allclose(got_sorted[:, :4], want_sorted, atol=1e-4)
+
+
+def test_postprocess_fixed_shape_static():
+    pred = jnp.zeros((1, 300, 13))
+    out = postprocess_fixed(pred, 8, 0.01, 0.65, pre_nms_topk=100)
+    assert out.shape == (1, 100, 8)
+    assert not bool(out[..., 7].any())
