@@ -4,9 +4,11 @@ Must run before the first ``import jax`` anywhere in the test session."""
 
 import os
 
-# The session environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel);
-# tests must run on the virtual-device CPU backend, so force-override.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The session environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel) and a
+# sitecustomize module imports jax BEFORE conftest runs, so env-var overrides
+# are too late. The XLA_FLAGS env is only read at backend-init time, so it can
+# still be set here; the platform itself must be forced through jax.config
+# (verified to win over the preloaded axon registration).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
