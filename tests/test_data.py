@@ -1,0 +1,201 @@
+"""Data layer tests: COCO index, ONE_/TWO_/STILL pairing rules (including the
+reference's boundary quirks), transforms, and the loader round trip.
+
+The pairing expectations mirror `/root/reference/exps/dataset/
+tal_flip_one_future_argoversedataset.py:74-110` and the TWO_ variant.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from streamyolo_tpu.data import (
+    COCO,
+    DoubleTrainTransform,
+    DoubleValTransform,
+    ONE_ARGOVERSEDataset,
+    STILL_ARGOVERSEDataset,
+    TWO_ARGOVERSEDataset,
+    TrainTransform,
+    preproc,
+)
+
+H, W = 60, 96  # tiny "raw" frames
+IMG_SIZE = (30, 48)  # dataset letterbox target (h, w)
+
+
+@pytest.fixture(scope="module")
+def fake_argoverse(tmp_path_factory):
+    """Two sequences (4 + 3 frames) with one moving box per frame."""
+    root = tmp_path_factory.mktemp("argoverse")
+    ann_dir = root / "Argoverse-HD" / "annotations"
+    ann_dir.mkdir(parents=True)
+    seq_dirs = ["seq0", "seq1"]
+    images, annotations = [], []
+    img_id = 0
+    ann_id = 0
+    for sid, n_frames in enumerate((4, 3)):
+        d = root / "Argoverse-1.1" / "tracking" / seq_dirs[sid]
+        d.mkdir(parents=True)
+        for fid in range(n_frames):
+            name = f"f{fid}.jpg"
+            frame = np.full((H, W, 3), 30 * (img_id + 1) % 255, np.uint8)
+            cv2.imwrite(str(d / name), frame)
+            images.append(
+                dict(id=img_id, width=W, height=H, sid=sid, fid=fid, name=name)
+            )
+            # one 10x8 box drifting right 2px per frame
+            x = 10 + 2 * fid
+            annotations.append(
+                dict(
+                    id=ann_id, image_id=img_id, category_id=2,
+                    bbox=[x, 20, 10, 8], area=80, iscrowd=0,
+                )
+            )
+            ann_id += 1
+            img_id += 1
+    categories = [
+        dict(id=i, name=n)
+        for i, n in enumerate(
+            "person bicycle car motorcycle bus truck traffic_light stop_sign".split()
+        )
+    ]
+    data = dict(
+        images=images, annotations=annotations, categories=categories,
+        seq_dirs=seq_dirs,
+    )
+    for split in ("train.json", "val.json"):
+        with open(ann_dir / split, "w") as f:
+            json.dump(data, f)
+    return str(root)
+
+
+def test_coco_index(fake_argoverse):
+    coco = COCO(os.path.join(fake_argoverse, "Argoverse-HD/annotations/train.json"))
+    assert coco.getImgIds() == list(range(7))
+    assert sorted(coco.getCatIds()) == list(range(8))
+    assert coco.getAnnIds(imgIds=[3], iscrowd=False) == [3]
+    assert coco.getAnnIds(imgIds=[999]) == []  # unknown id -> empty (quirk relied on)
+    assert coco.loadImgs(2)[0]["fid"] == 2
+
+
+def test_one_dataset_pairing(fake_argoverse):
+    ds = ONE_ARGOVERSEDataset(fake_argoverse, "train.json", img_size=IMG_SIZE)
+    r = min(IMG_SIZE[0] / H, IMG_SIZE[1] / W)
+
+    # id 1 (seq0, fid1): support file = frame 0, target = labels of id 2.
+    res, sup_res, _, _, fname, sup_fname = ds.annotations[1]
+    assert fname.endswith("seq0/f1.jpg") and sup_fname.endswith("seq0/f0.jpg")
+    assert res[0, 0] == pytest.approx((10 + 2 * 2) * r)  # x of frame fid=2
+    assert sup_res[0, 0] == pytest.approx((10 + 2 * 1) * r)  # own labels
+
+    # id 0 (fid 0): self-support, target = own labels.
+    _, _, _, _, fname0, sup_fname0 = ds.annotations[0]
+    assert fname0 == sup_fname0
+
+    # id 3 = last of seq0: self-support, target = own labels.
+    res3, _, _, _, fname3, sup_fname3 = ds.annotations[3]
+    assert fname3 == sup_fname3
+    assert res3[0, 0] == pytest.approx((10 + 2 * 3) * r)
+
+    # last two dataset ids (5, 6): EMPTY target (reference quirk).
+    assert ds.annotations[5][0].shape == (0, 5)
+    assert ds.annotations[6][0].shape == (0, 5)
+
+
+def test_two_dataset_pairing(fake_argoverse):
+    ds = TWO_ARGOVERSEDataset(fake_argoverse, "train.json", img_size=IMG_SIZE)
+    r = min(IMG_SIZE[0] / H, IMG_SIZE[1] / W)
+    # id 2 (seq0, fid2; id+1 is last of seq0 -> 'fid==0 at id+2' branch):
+    # support = id 1, target = labels of id 3.
+    res, sup_res, _, _, fname, sup_fname = ds.annotations[2]
+    assert fname.endswith("seq0/f2.jpg") and sup_fname.endswith("seq0/f1.jpg")
+    assert res[0, 0] == pytest.approx((10 + 2 * 3) * r)
+    # id 0: fid 0 -> self support, own labels
+    assert ds.annotations[0][4] == ds.annotations[0][5]
+
+
+def test_still_dataset(fake_argoverse):
+    ds = STILL_ARGOVERSEDataset(fake_argoverse, "train.json", img_size=IMG_SIZE)
+    img, target, img_info, img_id = ds.pull_item(2)
+    assert img_info == (H, W)
+    r = min(IMG_SIZE[0] / H, IMG_SIZE[1] / W)
+    assert img.shape == (int(H * r), int(W * r), 3)
+    assert target[0, 4] == 2  # class id
+
+
+def test_getitem_double_transform(fake_argoverse):
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "train.json", img_size=IMG_SIZE,
+        preproc=DoubleTrainTransform(max_labels=50, hsv=False, flip=True),
+    )
+    stacked, (target, sup_target), _, _ = ds[1]
+    assert stacked.shape == (IMG_SIZE[0], IMG_SIZE[1], 6)
+    assert target.shape == (50, 5) and sup_target.shape == (50, 5)
+    # both frames mirrored with the same coin: box cx columns either both
+    # original or both flipped
+    assert (target[0, 1] > 0) and (sup_target[0, 1] > 0)
+
+
+def test_val_transform_pair(fake_argoverse):
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "val.json", name="val", img_size=IMG_SIZE,
+        preproc=DoubleValTransform(),
+    )
+    stacked, _, _, img_id = ds[4]  # seq1 fid0
+    assert stacked.shape == (IMG_SIZE[0], IMG_SIZE[1], 6)
+    assert img_id[0] == 4
+    # fid==0 -> self-support: both halves identical
+    np.testing.assert_array_equal(stacked[..., :3], stacked[..., 3:])
+
+
+def test_preproc_letterbox_matches_reference_semantics():
+    img = np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
+    out, r = preproc(img, (32, 64))
+    assert out.shape == (32, 64, 3) and out.dtype == np.float32
+    assert r == min(32 / 50, 64 / 60)
+    nh, nw = int(50 * r), int(60 * r)
+    assert np.all(out[nh:, :] == 114) and np.all(out[:, nw:] == 114)
+
+
+def test_train_transform_flip_consistency():
+    img = np.random.RandomState(1).randint(0, 255, (50, 60, 3), np.uint8)
+    targets = np.array([[10.0, 10.0, 30.0, 24.0, 2.0]])
+    t = TrainTransform(max_labels=5, hsv=False, flip=True)
+    img_n, lab_n = t(img.copy(), targets.copy(), (50, 60), mirror=False)
+    img_f, lab_f = t(img.copy(), targets.copy(), (50, 60), mirror=True)
+    # mirrored cx + original cx == width (cxcywh encoding)
+    assert lab_n[0, 1] + lab_f[0, 1] == pytest.approx(60.0)
+    assert lab_n[0, 2] == pytest.approx(lab_f[0, 2])  # cy unchanged
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img[:, ::-1], np.float32))
+
+
+def test_loader_roundtrip(fake_argoverse):
+    from streamyolo_tpu.data import (
+        DataLoader,
+        InfiniteSampler,
+        MosaicDetection,
+        YoloBatchSampler,
+    )
+
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "train.json", img_size=IMG_SIZE,
+        preproc=None,
+    )
+    wrapped = MosaicDetection(
+        ds, img_size=IMG_SIZE, mosaic=False,
+        preproc=DoubleTrainTransform(max_labels=50, hsv=False, flip=True),
+    )
+    sampler = InfiniteSampler(len(ds), seed=0)
+    batch_sampler = YoloBatchSampler(sampler, batch_size=2, drop_last=False, mosaic=False)
+    loader = DataLoader(wrapped, batch_sampler=batch_sampler, num_workers=0)
+    it = iter(loader)
+    images, (labels, support_labels), _, _ = next(it)
+    assert images.shape == (2, IMG_SIZE[0], IMG_SIZE[1], 6)
+    assert labels.shape == (2, 50, 5)
+    assert support_labels.shape == (2, 50, 5)
+    assert images.dtype == np.float32
