@@ -29,3 +29,52 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Synthetic Argoverse-HD-format dataset shared by data/eval/stream tests:
+# two sequences (4 + 3 tiny frames), one 10x8 box drifting +2px/frame.
+FAKE_H, FAKE_W = 60, 96
+FAKE_IMG_SIZE = (30, 48)
+
+
+@pytest.fixture(scope="session")
+def fake_argoverse(tmp_path_factory):
+    import json
+
+    import cv2
+
+    root = tmp_path_factory.mktemp("argoverse")
+    ann_dir = root / "Argoverse-HD" / "annotations"
+    ann_dir.mkdir(parents=True)
+    seq_dirs = ["seq0", "seq1"]
+    images, annotations = [], []
+    img_id = ann_id = 0
+    for sid, n_frames in enumerate((4, 3)):
+        d = root / "Argoverse-1.1" / "tracking" / seq_dirs[sid]
+        d.mkdir(parents=True)
+        for fid in range(n_frames):
+            name = f"f{fid}.jpg"
+            frame = np.full((FAKE_H, FAKE_W, 3), 30 * (img_id + 1) % 255, np.uint8)
+            cv2.imwrite(str(d / name), frame)
+            images.append(
+                dict(id=img_id, width=FAKE_W, height=FAKE_H, sid=sid, fid=fid, name=name)
+            )
+            x = 10 + 2 * fid
+            annotations.append(
+                dict(id=ann_id, image_id=img_id, category_id=2,
+                     bbox=[x, 20, 10, 8], area=80, iscrowd=0)
+            )
+            ann_id += 1
+            img_id += 1
+    categories = [
+        dict(id=i, name=n)
+        for i, n in enumerate(
+            "person bicycle car motorcycle bus truck traffic_light stop_sign".split()
+        )
+    ]
+    data = dict(images=images, annotations=annotations, categories=categories,
+                seq_dirs=seq_dirs)
+    for split in ("train.json", "val.json"):
+        with open(ann_dir / split, "w") as f:
+            json.dump(data, f)
+    return str(root)

@@ -24,54 +24,7 @@ from streamyolo_tpu.data import (
     preproc,
 )
 
-H, W = 60, 96  # tiny "raw" frames
-IMG_SIZE = (30, 48)  # dataset letterbox target (h, w)
-
-
-@pytest.fixture(scope="module")
-def fake_argoverse(tmp_path_factory):
-    """Two sequences (4 + 3 frames) with one moving box per frame."""
-    root = tmp_path_factory.mktemp("argoverse")
-    ann_dir = root / "Argoverse-HD" / "annotations"
-    ann_dir.mkdir(parents=True)
-    seq_dirs = ["seq0", "seq1"]
-    images, annotations = [], []
-    img_id = 0
-    ann_id = 0
-    for sid, n_frames in enumerate((4, 3)):
-        d = root / "Argoverse-1.1" / "tracking" / seq_dirs[sid]
-        d.mkdir(parents=True)
-        for fid in range(n_frames):
-            name = f"f{fid}.jpg"
-            frame = np.full((H, W, 3), 30 * (img_id + 1) % 255, np.uint8)
-            cv2.imwrite(str(d / name), frame)
-            images.append(
-                dict(id=img_id, width=W, height=H, sid=sid, fid=fid, name=name)
-            )
-            # one 10x8 box drifting right 2px per frame
-            x = 10 + 2 * fid
-            annotations.append(
-                dict(
-                    id=ann_id, image_id=img_id, category_id=2,
-                    bbox=[x, 20, 10, 8], area=80, iscrowd=0,
-                )
-            )
-            ann_id += 1
-            img_id += 1
-    categories = [
-        dict(id=i, name=n)
-        for i, n in enumerate(
-            "person bicycle car motorcycle bus truck traffic_light stop_sign".split()
-        )
-    ]
-    data = dict(
-        images=images, annotations=annotations, categories=categories,
-        seq_dirs=seq_dirs,
-    )
-    for split in ("train.json", "val.json"):
-        with open(ann_dir / split, "w") as f:
-            json.dump(data, f)
-    return str(root)
+from tests.conftest import FAKE_H as H, FAKE_IMG_SIZE as IMG_SIZE, FAKE_W as W
 
 
 def test_coco_index(fake_argoverse):
