@@ -1,12 +1,13 @@
 """End-to-end streaming benchmark on the real TPU chip.
 
 Measures the full per-frame streaming step of StreamYOLO-l (the headline
-36.9-sAP variant) at the reference's 600x960 input: host image -> device,
-backbone ONCE on the current frame, DFP fusion with the HBM-resident buffer,
-decoupled head, decode, fixed-shape class-aware NMS, final boxes -> host.
-This is the loop the reference runs on a V100 at `sAP/streamyolo/
-streamyolo_det.py:152-195`; the V100 baseline is the 30 FPS real-time bar the
-README sets for that hardware (`/root/reference/README.md:126-137`).
+36.9-sAP variant) at the reference's 600x960 input: uint8 frame -> device,
+bf16 backbone ONCE on the current frame, DFP fusion with the HBM-resident
+(donated) buffer, decoupled head, decode, fixed-shape class-aware NMS, final
+[K, 8] boxes -> host. This is the loop the reference runs on a V100 at
+`/root/reference/sAP/streamyolo/streamyolo_det.py:152-195`; the V100 baseline
+is the 30 FPS real-time bar the README sets for that hardware
+(`/root/reference/README.md:126-137`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,6 +25,10 @@ V100_BASELINE_FPS = 30.0  # real-time bar on the reference hardware
 
 def main():
     import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from streamyolo_tpu.models.dfp_pafpn import DFPPAFPN
     from streamyolo_tpu.models.heads import TALHead
@@ -30,42 +36,41 @@ def main():
     from streamyolo_tpu.ops.nms import postprocess_fixed
 
     model = StreamYOLO(
-        backbone=DFPPAFPN(depth=1.0, width=1.0),
-        head=TALHead(num_classes=8, width=1.0),
+        backbone=DFPPAFPN(depth=1.0, width=1.0, dtype=jnp.bfloat16),
+        head=TALHead(num_classes=8, width=1.0, dtype=jnp.bfloat16),
     )
     rng = jax.random.PRNGKey(0)
-    img = np.random.RandomState(0).randint(0, 255, (1, 600, 960, 3)).astype(np.float32)
-    variables = model.init(rng, img[:, :64, :96], mode="off_pipe", train=False)
+    img8 = np.random.RandomState(0).randint(0, 255, (1, 600, 960, 3)).astype(np.uint8)
+    variables = model.init(
+        rng, np.zeros((1, 64, 96, 3), np.float32), mode="off_pipe", train=False
+    )
+    variables = jax.device_put(variables)
 
-    @jax.jit
-    def stream_step(variables, image, buffer):
-        preds, new_buffer = model.apply(variables, image, buffer=buffer, mode="on_pipe")
-        dets = postprocess_fixed(preds, num_classes=8, conf_thre=0.3, nms_thre=0.5,
-                                 pre_nms_topk=200)
+    def _step(variables, image, buffer):
+        x = image.astype(jnp.bfloat16)
+        preds, new_buffer = model.apply(variables, x, buffer=buffer, mode="on_pipe")
+        dets = postprocess_fixed(
+            preds, num_classes=8, conf_thre=0.3, nms_thre=0.5, pre_nms_topk=200
+        )
         return dets, new_buffer
 
-    # First ('star') frame builds the buffer.
-    image = jax.device_put(img)
-    dets, buffer = stream_step(variables, image, None)
+    stream_step = jax.jit(_step, donate_argnums=2)
 
-    @jax.jit
-    def stream_step_buf(variables, image, buffer):
-        preds, new_buffer = model.apply(variables, image, buffer=buffer, mode="on_pipe")
-        dets = postprocess_fixed(preds, num_classes=8, conf_thre=0.3, nms_thre=0.5,
-                                 pre_nms_topk=200)
-        return dets, new_buffer
-
-    # Warmup (compile + cache), as the reference does x10 (`streamyolo_det.py:113-121`).
+    # First ('star') frame builds the buffer; then warm up the donated
+    # steady-state program (the reference warms up x10, `streamyolo_det.py:113-121`).
+    image = jax.device_put(img8)
+    dets, buffer = jax.jit(_step)(variables, image, None)
+    np.asarray(dets)
     for _ in range(5):
-        dets, buffer = stream_step_buf(variables, image, buffer)
-    np.asarray(dets)  # sync
+        dets, buffer = stream_step(variables, image, buffer)
+    np.asarray(dets)
 
-    iters = 50
+    iters = 100
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        image = jax.device_put(img)  # H2D, part of the real loop
-        dets, buffer = stream_step_buf(variables, image, buffer)
+        image = jax.device_put(img8)  # H2D, part of the real loop
+        dets, buffer = stream_step(variables, image, buffer)
         np.asarray(dets)  # D2H of final boxes (sync)
         times.append(time.perf_counter() - t0)
 

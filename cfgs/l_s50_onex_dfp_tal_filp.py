@@ -1,0 +1,21 @@
+# StreamYOLO-l, 1x velocity, DFP + TAL + flip.
+# Mirrors /root/reference/cfgs/l_s50_onex_dfp_tal_filp.py (sic 'filp';
+# 1.0/1.0, TAL gamma=1.0 ignore_thr=0.5 ignore_value=1.6).
+import os
+
+from streamyolo_tpu.exp import StreamExp
+
+
+class Exp(StreamExp):
+    head_name = "tal"
+    dataset_name = "one"
+    evaluator_name = "onex"
+    tal_gamma = 1.0
+    tal_ignore_thr = 0.5
+    tal_ignore_value = 1.6
+
+    def __init__(self):
+        super().__init__()
+        self.depth = 1.0
+        self.width = 1.0
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]

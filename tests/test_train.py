@@ -1,0 +1,118 @@
+"""Config system, conv+BN fuse parity, and a full trainer smoke test
+(1 epoch on the synthetic Argoverse dataset, 8-device virtual CPU mesh)."""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+import jax
+
+from streamyolo_tpu.exp import get_exp
+from tests.conftest import FAKE_IMG_SIZE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFGS = sorted(glob.glob(os.path.join(REPO, "cfgs", "*.py")))
+
+
+def test_all_five_configs_load_and_build():
+    assert len(CFGS) == 5
+    expected = {
+        "s_s50_onex_dfp_tal_flip": (0.33, 0.50, "tal", "onex"),
+        "m_s50_onex_dfp_tal_flip": (0.67, 0.75, "tal", "onex"),
+        "l_s50_onex_dfp_tal_filp": (1.0, 1.0, "tal", "onex"),
+        "l_s50_twox_dfp_tal_flip": (1.0, 1.0, "tal", "twox"),
+        "l_s50_still_dfp_flip": (1.0, 1.0, "pipe", "still"),
+    }
+    for path in CFGS:
+        exp = get_exp(path)
+        name = os.path.basename(path)[:-3]
+        depth, width, head, evaluator = expected[name]
+        assert exp.depth == depth and exp.width == width
+        assert exp.head_name == head and exp.evaluator_name == evaluator
+        assert exp.input_size == (600, 960) and exp.test_size == (600, 960)
+        assert exp.basic_lr_per_img == 0.001 / 64.0
+        assert exp.max_epoch == 15 and exp.no_aug_epochs == 15
+        model = exp.get_model()
+        assert model is not None
+
+
+def test_exp_merge_overrides():
+    exp = get_exp(CFGS[0])
+    exp.merge(["max_epoch", "3", "test_conf", "0.25"])
+    assert exp.max_epoch == 3
+    assert exp.test_conf == 0.25
+
+
+def test_tal_params_reach_head():
+    exp = get_exp(os.path.join(REPO, "cfgs", "m_s50_onex_dfp_tal_flip.py"))
+    model = exp.get_model()
+    assert model.head.gamma == 1.0
+    assert model.head.ignore_thr == 0.4
+    assert model.head.ignore_value == 1.7
+
+
+def test_fuse_parity():
+    from streamyolo_tpu.utils.fuse import fuse_model_variables
+
+    exp = get_exp(CFGS[0])
+    model = exp.get_model()
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 96, 6).astype(np.float32) * 255
+    variables = model.init(jax.random.PRNGKey(0), x, mode="off_pipe", train=False)
+    # randomize BN stats so the fold actually does something
+    import jax.numpy as jnp
+
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.05 * np.abs(rng.standard_normal(v.shape)).astype(v.dtype),
+        variables,
+    )
+    ref = model.apply(variables, x, mode="off_pipe", train=False)
+    fused = fuse_model_variables(variables)
+    out = model.apply(fused, x, mode="off_pipe", train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_trainer_smoke(fake_argoverse, tmp_path):
+    """One epoch end-to-end: data loader -> sharded train step -> EMA eval ->
+    checkpoints, on the virtual 8-device CPU mesh."""
+    exp = get_exp(os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"))
+    exp.data_dir = fake_argoverse
+    exp.input_size = FAKE_IMG_SIZE
+    exp.test_size = FAKE_IMG_SIZE
+    exp.random_size = None  # keep one static shape on CPU
+    exp.data_num_workers = 0
+    exp.max_epoch = 1
+    exp.no_aug_epochs = 1
+    exp.eval_interval = 1
+    exp.save_history_ckpt = False
+    exp.output_dir = str(tmp_path)
+    exp.print_interval = 1
+
+    args = argparse.Namespace(
+        batch_size=8, fp16=False, resume=False, ckpt=None, cache=False,
+        experiment_name="smoke", eval_batch_size=4, start_epoch=None,
+    )
+    trainer = exp.get_trainer(args)
+    trainer.train()
+
+    out_dir = os.path.join(str(tmp_path), "smoke")
+    assert os.path.exists(os.path.join(out_dir, "latest_ckpt.pkl"))
+    assert os.path.exists(os.path.join(out_dir, "last_epoch_ckpt.pkl"))
+    assert np.isfinite(float(trainer._last_metrics["total_loss"]))
+
+    # resume path: restores epoch + train state
+    args2 = argparse.Namespace(
+        batch_size=8, fp16=False, resume=True,
+        ckpt=os.path.join(out_dir, "latest_ckpt.pkl"), cache=False,
+        experiment_name="smoke", eval_batch_size=4, start_epoch=None,
+    )
+    trainer2 = exp.get_trainer(args2)
+    trainer2.before_train()
+    assert trainer2.start_epoch == 1
+    assert int(trainer2.state.step) == int(trainer.state.step)

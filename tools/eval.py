@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Offline evaluation CLI (pseudo-streaming sAP / plain AP).
+
+Flag surface mirrors `/root/reference/tools/eval.py:27-112`: ``-f`` config,
+``-c`` checkpoint (defaults to ``best_ckpt``; torch ``.pth`` released weights
+load through the importer), ``-b`` batch, ``--conf``/``--nms``/``--tsize``,
+``--fuse`` (conv+BN fold), ``--speed`` (speed-only mode). The TensorRT path
+maps to what XLA gives every run: an AOT-compiled fixed-shape executable
+(persistent compilation cache) — no separate engine flag needed. Multi-GPU
+process plumbing is N/A (single SPMD process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("StreamYOLO-TPU eval")
+    parser.add_argument("-expn", "--experiment-name", type=str, default=None)
+    parser.add_argument("-n", "--name", type=str, default=None)
+    parser.add_argument("-f", "--exp_file", default=None, type=str)
+    parser.add_argument("-b", "--batch-size", type=int, default=64)
+    parser.add_argument("-c", "--ckpt", default=None, type=str)
+    parser.add_argument("--conf", default=None, type=float)
+    parser.add_argument("--nms", default=None, type=float)
+    parser.add_argument("--tsize", default=None, type=int, nargs=2, metavar=("H", "W"))
+    parser.add_argument("--fuse", dest="fuse", default=False, action="store_true",
+                        help="fold BN into conv weights before eval")
+    parser.add_argument("--fp16", dest="fp16", default=False, action="store_true")
+    parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--test", dest="test", default=False, action="store_true",
+                        help="evaluate on test split")
+    parser.add_argument("--speed", dest="speed", default=False, action="store_true",
+                        help="speed-only test")
+    parser.add_argument("--legacy", dest="legacy", default=False, action="store_true")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+    from streamyolo_tpu.exp import get_exp
+    from streamyolo_tpu.utils.checkpoint import load_checkpoint
+    from streamyolo_tpu.utils.logger import get_logger, setup_logger
+    from streamyolo_tpu.utils.torch_import import merge_variables
+
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    if not args.experiment_name:
+        args.experiment_name = exp.exp_name
+    if args.conf is not None:
+        exp.test_conf = args.conf
+    if args.nms is not None:
+        exp.nmsthre = args.nms
+    if args.tsize is not None:
+        exp.test_size = tuple(args.tsize)
+    if args.fp16:
+        exp.compute_dtype = "bfloat16"
+
+    file_name = os.path.join(exp.output_dir, args.experiment_name)
+    os.makedirs(file_name, exist_ok=True)
+    setup_logger(file_name, filename="val_log.txt")
+    logger = get_logger()
+    logger.info(f"Args: {args}")
+
+    model = exp.get_model()
+    variables = exp.init_model(model)
+
+    ckpt_file = args.ckpt or os.path.join(file_name, "best_ckpt.pkl")
+    logger.info(f"loading checkpoint from {ckpt_file}")
+    ckpt = load_checkpoint(ckpt_file)
+    variables = merge_variables(variables, ckpt["model"], strict=False)
+    logger.info("loaded checkpoint done.")
+
+    if args.fuse:
+        from streamyolo_tpu.utils.fuse import fuse_model_variables
+
+        logger.info("\tFusing conv+BN...")
+        variables = fuse_model_variables(variables)
+
+    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
+    forward_fn = exp.get_forward_fn(model, variables)
+    ap, ap50, summary = exp.eval(forward_fn, evaluator)
+    logger.info(f"\n{summary}")
+    logger.info(f"AP: {ap:.4f}  AP50: {ap50:.4f}")
+
+
+if __name__ == "__main__":
+    main()
