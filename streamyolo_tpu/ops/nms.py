@@ -41,16 +41,11 @@ def _iou_matrix_xyxy(boxes: jax.Array) -> jax.Array:
     return inter / jnp.maximum(union, 1e-12)
 
 
-def nms_padded(boxes: jax.Array, valid: jax.Array, nms_thre: float) -> jax.Array:
-    """Greedy NMS over boxes already sorted by descending score.
-
-    Args:
-      boxes: [K, 4] xyxy (already class-offset if class-aware).
-      valid: [K] bool — padding / below-threshold entries.
-      nms_thre: IoU suppression threshold.
-
-    Returns [K] bool keep mask. Exactly the sequential greedy result.
-    """
+def nms_padded_sequential(boxes: jax.Array, valid: jax.Array, nms_thre: float) -> jax.Array:
+    """Reference greedy NMS: K sequential suppression steps. Exact but
+    serial — kept as the oracle for ``nms_padded`` (dual-implementation
+    pattern, SURVEY.md §4.4). Do not use on the hot path: a K-iteration
+    ``fori_loop`` costs ~K sequential VPU steps on TPU."""
     k = boxes.shape[0]
     iou = _iou_matrix_xyxy(boxes)
     idx = jnp.arange(k)
@@ -61,6 +56,46 @@ def nms_padded(boxes: jax.Array, valid: jax.Array, nms_thre: float) -> jax.Array
         return keep & ~suppress
 
     keep = jax.lax.fori_loop(0, k, body, valid)
+    return keep
+
+
+def nms_padded(boxes: jax.Array, valid: jax.Array, nms_thre: float) -> jax.Array:
+    """Greedy NMS over boxes already sorted by descending score — TPU-native
+    fixed-point formulation.
+
+    The greedy result is the unique fixed point of
+        keep[i] = valid[i] & not exists j < i: keep[j] and iou[j, i] > thr.
+    The suppression graph is a DAG (only j < i suppresses), so the fixed
+    point is unique and iterating from keep = valid converges within the
+    longest suppression-chain depth — typically 3-5 steps on real
+    detections, each ONE [K, K] masked reduction on the VPU, instead of K
+    sequential steps.
+
+    Args:
+      boxes: [K, 4] xyxy (already class-offset if class-aware).
+      valid: [K] bool — padding / below-threshold entries.
+      nms_thre: IoU suppression threshold.
+
+    Returns [K] bool keep mask. Exactly the sequential greedy result
+    (verified against ``nms_padded_sequential`` in tests).
+    """
+    k = boxes.shape[0]
+    iou = _iou_matrix_xyxy(boxes)
+    idx = jnp.arange(k)
+    # suppress[j, i]: a kept earlier box j would suppress i
+    suppress = (iou > nms_thre) & (idx[:, None] < idx[None, :])
+
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(suppress & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    init = valid & ~jnp.any(suppress & valid[:, None], axis=0)
+    keep, _, _ = jax.lax.while_loop(cond, body, (init, valid, jnp.int32(0)))
     return keep
 
 

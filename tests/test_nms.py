@@ -110,3 +110,35 @@ def test_postprocess_fixed_shape_static():
     out = postprocess_fixed(pred, 8, 0.01, 0.65, pre_nms_topk=100)
     assert out.shape == (1, 100, 8)
     assert not bool(out[..., 7].any())
+
+def test_fixed_point_nms_matches_sequential(rng):
+    """The while-loop fixed-point NMS must equal the K-step sequential greedy
+    sweep on dense, heavily-overlapping box sets (deep suppression chains)."""
+    from streamyolo_tpu.ops.nms import nms_padded_sequential
+
+    for n, size in [(64, 120.0), (128, 80.0), (200, 60.0)]:
+        boxes = random_boxes(rng, n, size=size)  # crowded -> long chains
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        sb = jnp.asarray(boxes[order])
+        valid = jnp.ones(n, bool)
+        got = np.asarray(nms_padded(sb, valid, 0.5))
+        want = np.asarray(nms_padded_sequential(sb, valid, 0.5))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fixed_point_nms_chain():
+    """Hand-built suppression chain a>b>c where a-c don't overlap: greedy
+    keeps a and c (the naive one-shot 'suppress all overlapped' would drop c)."""
+    boxes = jnp.asarray(
+        np.array(
+            [
+                [0.0, 0.0, 10.0, 10.0],   # a (highest score)
+                [6.0, 0.0, 16.0, 10.0],   # b: iou(a,b)=4/16=0.25... overlap
+                [12.0, 0.0, 22.0, 10.0],  # c: overlaps b, not a
+            ],
+            np.float32,
+        )
+    )
+    keep = np.asarray(nms_padded(boxes, jnp.ones(3, bool), 0.2))
+    np.testing.assert_array_equal(keep, [True, False, True])
