@@ -1,0 +1,288 @@
+"""Online streaming detection loop (real-clock on TPU, fake-clock on CPU).
+
+Capability parity with `/root/reference/sAP/streamyolo/streamyolo_det.py:85-231`
+and the simulated-runtime harness `sAP/det/srt_det.py:72-165`, unified behind
+the ``clock`` abstraction:
+
+  * per sequence: frames preloaded to RAM, clock starts, the loop repeatedly
+    grabs the LATEST frame ``floor(elapsed * fps)`` (skipping already-seen /
+    strided frames, with the optional dynamic-schedule policy: skip the frame
+    if more than half its period has already elapsed, `streamyolo_det.py:165-174`);
+  * the detector runs the DFP ``on_pipe`` step threading the feature buffer;
+  * per-sequence pkl: ``results_parsed / timestamps / input_fidx / runtime``;
+    global ``time_info.pkl`` with runtime stats (`:197-229`).
+
+TPU-native detector design: the whole per-frame device program (uint8 cast ->
+bf16 backbone once -> DFP fuse with donated HBM buffer -> head -> decode ->
+fixed-shape NMS) is ONE AOT-compiled XLA executable; the host does only the
+cv2 resize and the final [K, 8] row unpack (BASELINE "on-device streaming
+loop" requirement).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from streamyolo_tpu.stream.clock import SimClock, WallClock
+from streamyolo_tpu.stream.runtime_dist import Empirical
+from streamyolo_tpu.utils.logger import get_logger
+
+
+class TPUStreamDetector:
+    """Stateful streaming detector: carries the DFP buffer across frames.
+
+    Parse contract (matching `streamyolo_det.py:62-83`): returns
+    (bboxes_ltrb / in_scale, scores, int labels, None-masks).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        input_size: Tuple[int, int] = (600, 960),
+        in_scale: float = 0.5,
+        conf_thre: float = 0.01,
+        nms_thre: float = 0.65,
+        num_classes: int = 8,
+        pre_nms_topk: int = 200,
+        use_bf16: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from streamyolo_tpu.ops.nms import postprocess_fixed
+
+        self.input_size = input_size
+        self.in_scale = in_scale
+        self._buffer = None
+        self.variables = jax.device_put(variables)
+
+        def _step(variables, image, buffer):
+            x = image.astype(jnp.bfloat16 if use_bf16 else jnp.float32)
+            preds, new_buffer = model.apply(variables, x, buffer=buffer, mode="on_pipe")
+            dets = postprocess_fixed(
+                preds, num_classes=num_classes, conf_thre=conf_thre,
+                nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+            )
+            return dets, new_buffer
+
+        # star (first frame) and steady-state (donated buffer) programs
+        self._step_star = jax.jit(_step)
+        self._step_buf = jax.jit(_step, donate_argnums=2)
+        self._device_put = jax.device_put
+
+    def reset(self):
+        self._buffer = None
+
+    def warmup(self, n: int = 10):
+        """Compile + warm both programs (reference warms x10,
+        `streamyolo_det.py:113-121`)."""
+        frame = np.zeros((self.input_size[0], self.input_size[1], 3), np.uint8)
+        self.reset()
+        for _ in range(n):
+            self(frame, preprocessed=True)
+        self.reset()
+
+    def preproc(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Plain resize to the streaming input size (`streamyolo_det.py:57-60`
+        — the online path does NOT letterbox). Stays uint8: the cast happens
+        on device (4x less H2D traffic)."""
+        import cv2
+
+        return cv2.resize(
+            frame_bgr, (self.input_size[1], self.input_size[0]),
+            interpolation=cv2.INTER_LINEAR,
+        )
+
+    def __call__(self, frame_bgr: np.ndarray, preprocessed: bool = False):
+        frame = frame_bgr if preprocessed else self.preproc(frame_bgr)
+        image = self._device_put(frame[None])
+        if self._buffer is None:
+            dets, self._buffer = self._step_star(self.variables, image, None)
+        else:
+            dets, self._buffer = self._step_buf(self.variables, image, self._buffer)
+        rows = np.asarray(dets)[0]  # [K, 8] — the only per-frame D2H
+        kept = rows[rows[:, 7] > 0.5]
+        bboxes = kept[:, :4] / self.in_scale
+        scores = kept[:, 4] * kept[:, 5]
+        labels = kept[:, 6].astype(np.int32)
+        return bboxes, scores, labels, None
+
+
+class SimulatedDetector:
+    """Oracle/simulated detector for CPU tests: emits the ground truth of the
+    input frame (optionally perturbed) and reports runtimes drawn from an
+    ``Empirical`` distribution (`sAP/det/srt_det.py` pattern)."""
+
+    def __init__(self, gt_by_fidx, runtime_dist: Empirical):
+        self.gt_by_fidx = gt_by_fidx
+        self.runtime_dist = runtime_dist
+
+    def reset(self):
+        pass
+
+    def __call__(self, fidx: int):
+        boxes, labels = self.gt_by_fidx(fidx)
+        scores = np.ones(len(boxes))
+        return np.asarray(boxes, np.float64), scores, np.asarray(labels, np.int32), None
+
+
+def stream_sequence(
+    frames: Sequence,
+    detector,
+    fps: float = 30.0,
+    clock=None,
+    det_stride: int = 1,
+    dynamic_schedule: bool = False,
+    runtime_dist: Optional[Empirical] = None,
+    frame_arg_is_index: bool = False,
+) -> Dict[str, list]:
+    """Run the streaming protocol over one sequence.
+
+    With ``clock=WallClock()`` and a real detector this is the production
+    loop; with ``clock=SimClock()`` + ``runtime_dist`` the detector's latency
+    is simulated and the run is deterministic on any host.
+    """
+    clock = clock or WallClock()
+    clock.reset()
+    n_frame = len(frames)
+    t_total = n_frame / fps
+
+    timestamps: List[float] = []
+    results_parsed: List[tuple] = []
+    input_fidx: List[int] = []
+    runtime: List[float] = []
+    last_fidx = None
+    stride_cnt = 0
+    detector.reset()
+
+    while True:
+        t1 = clock.now()
+        if t1 >= t_total:
+            break
+        fidx_continous = t1 * fps
+        fidx = int(np.floor(fidx_continous))
+        if fidx == last_fidx:
+            # real clock: busy-wait until the next frame; sim clock: hop to it
+            if isinstance(clock, SimClock):
+                clock.advance((fidx + 1) / fps - t1 + 1e-9)
+            continue
+        last_fidx = fidx
+        if dynamic_schedule:
+            if fidx_continous - fidx > 0.5:  # more than half a period late
+                continue
+        else:
+            if stride_cnt % det_stride == 0:
+                stride_cnt = 1
+            else:
+                stride_cnt += 1
+                continue
+
+        arg = fidx if frame_arg_is_index else frames[fidx]
+        result = detector(arg)
+        if runtime_dist is not None:
+            dt = runtime_dist.draw()
+            clock.advance(dt)
+        t2 = clock.now()
+        if t2 >= t_total:
+            break
+        timestamps.append(t2)
+        results_parsed.append(result)
+        input_fidx.append(fidx)
+        runtime.append(t2 - t1)
+
+    return {
+        "results_parsed": results_parsed,
+        "timestamps": timestamps,
+        "input_fidx": input_fidx,
+        "runtime": runtime,
+    }
+
+
+def print_stats(arr, name: str = "", fmt: str = "{:.4g}", cvt=lambda x: x):
+    """Runtime stats line (parity with mtli/sAP ``print_stats`` consumed at
+    `streamyolo_det.py:225-229`)."""
+    arr = np.asarray(arr)
+    logger = get_logger()
+    logger.info(
+        f"{name}: mean: {fmt.format(cvt(arr.mean()))}; std: {fmt.format(cvt(arr.std(ddof=1)))}; "
+        f"min: {fmt.format(cvt(arr.min()))}; max: {fmt.format(cvt(arr.max()))}"
+    )
+
+
+def run_streaming_detection(
+    db,
+    data_root: str,
+    out_dir: str,
+    detector,
+    fps: float = 30.0,
+    det_stride: int = 1,
+    dynamic_schedule: bool = False,
+    clock=None,
+    runtime_dist: Optional[Empirical] = None,
+    overwrite: bool = False,
+) -> Dict:
+    """Whole-dataset streaming run: per-sequence pkls + ``time_info.pkl``
+    (`streamyolo_det.py:123-229`). ``db`` is a COCO index whose dataset
+    carries ``sequences`` + ``seq_dirs``."""
+    import cv2
+
+    logger = get_logger()
+    os.makedirs(out_dir, exist_ok=True)
+    seqs = db.dataset["sequences"]
+    seq_dirs = db.dataset["seq_dirs"]
+
+    runtime_all: List[float] = []
+    n_processed = 0
+    n_total = 0
+    for sid, seq in enumerate(seqs):
+        frame_list = [img for img in db.imgs.values() if img["sid"] == sid]
+        frames = []
+        for img in frame_list:
+            path = os.path.join(data_root, seq_dirs[sid], img["name"])
+            frame = cv2.imread(path)
+            assert frame is not None, path
+            # preprocessing outside the clock would be cheating: the
+            # reference resizes inside the loop; we preload raw frames only.
+            frames.append(frame)
+        n_total += len(frames)
+
+        result = stream_sequence(
+            frames, detector, fps=fps, clock=clock,
+            det_stride=det_stride, dynamic_schedule=dynamic_schedule,
+            runtime_dist=runtime_dist,
+        )
+        out_path = os.path.join(out_dir, seq + ".pkl")
+        if overwrite or not os.path.isfile(out_path):
+            with open(out_path, "wb") as f:
+                pickle.dump(result, f)
+        runtime_all += result["runtime"]
+        n_processed += len(result["results_parsed"])
+
+    runtime_all_np = np.asarray(runtime_all)
+    n_small_runtime = int((runtime_all_np < 1.0 / fps).sum()) if len(runtime_all) else 0
+    time_info = {
+        "runtime_all": runtime_all,
+        "n_processed": n_processed,
+        "n_total": n_total,
+        "n_small_runtime": n_small_runtime,
+    }
+    out_path = os.path.join(out_dir, "time_info.pkl")
+    if overwrite or not os.path.isfile(out_path):
+        with open(out_path, "wb") as f:
+            pickle.dump(time_info, f)
+
+    logger.info(f"{n_processed}/{n_total} frames processed")
+    if len(runtime_all):
+        print_stats(runtime_all_np, "Runtime (ms)", cvt=lambda x: 1e3 * x)
+        logger.info(
+            f"Runtime smaller than unit time interval: "
+            f"{n_small_runtime}/{n_processed} "
+            f"({100.0 * n_small_runtime / max(n_processed, 1):.4g}%)"
+        )
+    return time_info

@@ -73,7 +73,7 @@ def fake_argoverse(tmp_path_factory):
         )
     ]
     data = dict(images=images, annotations=annotations, categories=categories,
-                seq_dirs=seq_dirs)
+                seq_dirs=seq_dirs, sequences=["seq0", "seq1"])
     for split in ("train.json", "val.json"):
         with open(ann_dir / split, "w") as f:
             json.dump(data, f)

@@ -1,0 +1,169 @@
+"""Streaming harness tests: fake-clock protocol simulation, sAP pairing
+math, runtime distributions, and the exact-arithmetic schedule simulator —
+all CPU-deterministic (the testability pattern SURVEY.md §4.3 calls for)."""
+
+import os
+import pickle
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from streamyolo_tpu.data.coco import COCO
+from streamyolo_tpu.stream import (
+    Empirical,
+    SimClock,
+    SimulatedDetector,
+    add_to_runtime_zoo,
+    dist_from_zoo,
+    pair_streaming_results,
+    eval_ccf,
+    sim,
+    stream_sequence,
+)
+from streamyolo_tpu.stream.schedule_sim import (
+    p_idle_free,
+    p_idle_next,
+    p_shrinking_tail,
+)
+
+FPS = 30.0
+
+
+def _db(fake_argoverse):
+    return COCO(os.path.join(fake_argoverse, "Argoverse-HD/annotations/val.json"))
+
+
+def _gt_oracle(db, sid):
+    offset = min(i["id"] for i in db.dataset["images"] if i["sid"] == sid)
+
+    def gt(fidx):
+        anns = db.img_to_anns[offset + fidx]
+        boxes = [
+            [a["bbox"][0], a["bbox"][1], a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+            for a in anns
+        ]
+        labels = [a["category_id"] for a in anns]
+        return boxes, labels
+
+    return gt
+
+
+def _run_sim(db, runtime_s):
+    """Streaming run over both sequences with a constant simulated runtime."""
+    results = {}
+    for sid, seq in enumerate(db.dataset["sequences"]):
+        n = sum(1 for i in db.dataset["images"] if i["sid"] == sid)
+        det = SimulatedDetector(_gt_oracle(db, sid), None)
+        results[seq] = stream_sequence(
+            list(range(n)),
+            det,
+            fps=FPS,
+            clock=SimClock(),
+            runtime_dist=Empirical([runtime_s], seed=0),
+            frame_arg_is_index=True,
+        )
+    return results
+
+
+def test_stream_protocol_one_period_runtime(fake_argoverse):
+    db = _db(fake_argoverse)
+    results = _run_sim(db, runtime_s=1.0 / FPS)
+    # seq0 (4 frames): outputs for fidx 0,1,2 at t=1/30,2/30,3/30 (the
+    # 4th finishes exactly at the horizon and is dropped).
+    r0 = results["seq0"]
+    assert r0["input_fidx"] == [0, 1, 2]
+    np.testing.assert_allclose(r0["timestamps"], [1 / 30, 2 / 30, 3 / 30], atol=1e-9)
+
+    ccf, assoc = pair_streaming_results(db, results, fps=FPS, eta=0)
+    # first frame of each sequence has no output yet -> 2 misses;
+    # every other frame pairs with the previous frame's detection.
+    assert assoc == {"miss": 2, "in_time": 0, "mismatch": 5}
+
+    summary = eval_ccf(db, ccf)
+    # lag-1 boxes: IoU vs drifted gt = 8/12 -> TP at 0.5, FN at 0.75;
+    # recall 5/7 -> AP50 = 72/101.
+    assert summary["stats"][1] == pytest.approx(72 / 101, abs=1e-9)
+    assert summary["stats"][2] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_stream_future_prediction_recovers_sap(fake_argoverse):
+    """The core StreamYOLO thesis, reproduced by the harness: at eta=0 even a
+    near-instant detector pairs each gt frame with the PREVIOUS frame's
+    output (its result lands strictly after the frame's own query time), so a
+    current-frame oracle is permanently one frame stale — while an oracle
+    that predicts the NEXT frame's boxes scores perfect sAP75."""
+    db = _db(fake_argoverse)
+
+    def run(shift):
+        results = {}
+        for sid, seq in enumerate(db.dataset["sequences"]):
+            n = sum(1 for i in db.dataset["images"] if i["sid"] == sid)
+            gt = _gt_oracle(db, sid)
+            det = SimulatedDetector(lambda f, gt=gt, n=n: gt(min(f + shift, n - 1)), None)
+            results[seq] = stream_sequence(
+                list(range(n)), det, fps=FPS, clock=SimClock(),
+                runtime_dist=Empirical([1e-4], seed=0), frame_arg_is_index=True,
+            )
+        return pair_streaming_results(db, results, fps=FPS, eta=0)
+
+    ccf_cur, assoc_cur = run(shift=0)
+    # even near-zero latency: output for frame ii lands at ii/30 + eps,
+    # after ii's query time -> one-frame stale everywhere
+    assert assoc_cur == {"miss": 2, "in_time": 0, "mismatch": 5}
+    cur = eval_ccf(db, ccf_cur)
+    assert cur["stats"][2] == pytest.approx(0.0, abs=1e-9)  # lag-1 IoU 8/12 < 0.75
+
+    ccf_fut, _ = run(shift=1)  # StreamYOLO-style next-frame prediction
+    fut = eval_ccf(db, ccf_fut)
+    assert fut["stats"][1] == pytest.approx(72 / 101, abs=1e-9)
+    assert fut["stats"][2] == pytest.approx(72 / 101, abs=1e-9)  # exact boxes
+
+
+def test_stream_slow_detector_accumulates_mismatch(fake_argoverse):
+    db = _db(fake_argoverse)
+    results = _run_sim(db, runtime_s=2.0 / FPS)  # 2 periods per inference
+    _, assoc = pair_streaming_results(db, results, fps=FPS, eta=0)
+    fast = pair_streaming_results(db, _run_sim(db, 1.0 / FPS), fps=FPS, eta=0)[1]
+    assert assoc["mismatch"] > fast["mismatch"]
+    assert assoc["miss"] >= fast["miss"]
+
+
+def test_empirical_distribution():
+    d = Empirical([0.01, 0.02, 0.03], perf_factor=2.0, seed=0)
+    assert d.mean() == pytest.approx(0.01)  # halved by perf_factor
+    assert d.draw_sequential() == pytest.approx(0.005)
+    assert d.draw_sequential() == pytest.approx(0.01)
+    assert d.draw_sequential() == pytest.approx(0.015)
+    assert d.draw_sequential() == pytest.approx(0.005)  # wraps
+    assert d.min() <= d.draw() <= d.max()
+
+
+def test_runtime_zoo_roundtrip(tmp_path):
+    time_info = {"runtime_all": [0.03, 0.04, 0.05]}
+    ti_path = tmp_path / "time_info.pkl"
+    with open(ti_path, "wb") as f:
+        pickle.dump(time_info, f)
+    zoo_path = tmp_path / "zoo.pkl"
+    add_to_runtime_zoo(str(ti_path), str(zoo_path), "tpu_v5e_l")
+    d = dist_from_zoo(str(zoo_path), "tpu_v5e_l")
+    assert d.mean() == pytest.approx(0.04)
+
+
+def test_schedule_sim_exact():
+    # hand-traced: r=2 frame-periods, T=4, eta=0, idle-free -> the only
+    # reported mismatch is at t=3 (result from frame 0): 3.
+    assert sim(p_idle_free, Fraction(2), 4, 0) == 3
+    # r = 1/2: the detector always finishes within the period; every policy
+    # produces the same (minimal) mismatch
+    assert sim(p_idle_free, Fraction(1, 2), 13, 0) == sim(
+        p_idle_next, Fraction(1, 2), 13, 0
+    )
+    # the paper's headline: for fractional runtimes, shrinking-tail never
+    # does worse than either naive policy (exact rational comparison)
+    for r in (Fraction(3, 2), Fraction(5, 4), Fraction(7, 3)):
+        st = sim(p_shrinking_tail, r, 13, 0)
+        assert st <= sim(p_idle_free, r, 13, 0)
+        assert st <= sim(p_idle_next, r, 13, 0)
