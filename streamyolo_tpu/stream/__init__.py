@@ -39,3 +39,34 @@ __all__ = [
     "POLICIES",
     "sim",
 ]
+from streamyolo_tpu.stream.forecast import (
+    KFForecaster,
+    Streamer,
+    batch_kf_predict,
+    batch_kf_predict_only,
+    batch_kf_update,
+    bbox_extrap_lin,
+    bbox_extrap_quad,
+    extrap_clean_up,
+)
+from streamyolo_tpu.stream.track import (
+    iou_assoc,
+    iou_assoc_no_tracks,
+    iou_ltwh,
+    track_based_shuffle,
+)
+
+__all__ += [
+    "KFForecaster",
+    "Streamer",
+    "batch_kf_predict",
+    "batch_kf_predict_only",
+    "batch_kf_update",
+    "bbox_extrap_lin",
+    "bbox_extrap_quad",
+    "extrap_clean_up",
+    "iou_assoc",
+    "iou_assoc_no_tracks",
+    "iou_ltwh",
+    "track_based_shuffle",
+]

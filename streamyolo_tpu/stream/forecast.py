@@ -1,0 +1,286 @@
+"""Forecasting meta-detector: batched Kalman filter + box extrapolation +
+the process-isolated "Streamer".
+
+Capability parity with `/root/reference/sAP/forecast/`:
+
+  * batched 8-state constant-velocity Kalman filter over boxes
+    x = [l, t, w, h, vl, vt, vw, vh], H = slice of the first 4 states, with
+    dt-scaled F and Q = dt^2 I (`pps_forecast_kf.py:54-97`) — implemented in
+    NumPy (these are tiny per-track 8x8 host-side mats; the detector is the
+    TPU part);
+  * linear / quadratic box extrapolation + out-of-image cleanup
+    (`forecast/__init__.py:12-89`);
+  * ``Streamer``: the detector runs in a child process connected by pipes
+    (`forecast/streamer.py:66-124`) while the parent associates detections
+    across frames (greedy IoU, `streamyolo_tpu.stream.track`) and forecasts
+    to the query time — async process parallelism (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import traceback
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from streamyolo_tpu.stream.track import iou_assoc
+
+# ---------------------------------------------------------------- KF core
+
+
+def bbox2z(bboxes: np.ndarray) -> np.ndarray:
+    """[n,4] -> [n,4,1] measurement column vectors."""
+    return np.asarray(bboxes, np.float64)[:, :, None]
+
+
+def bbox2x(bboxes: np.ndarray) -> np.ndarray:
+    """[n,4] -> [n,8,1] state vectors with zero velocity."""
+    b = np.asarray(bboxes, np.float64)
+    return np.concatenate((b, np.zeros_like(b)), axis=1)[:, :, None]
+
+
+def x2bbox(x: np.ndarray) -> np.ndarray:
+    return x[:, :4, 0]
+
+
+def make_F(F: np.ndarray, dt: float) -> np.ndarray:
+    F[[0, 1, 2, 3], [4, 5, 6, 7]] = dt
+    return F
+
+
+def make_Q(Q: np.ndarray, dt: float) -> np.ndarray:
+    Q[np.arange(8), np.arange(8)] = dt * dt
+    return Q
+
+
+def batch_kf_predict_only(F: np.ndarray, x: np.ndarray) -> np.ndarray:
+    return F @ x
+
+
+def batch_kf_predict(F, x, P, Q):
+    x = F @ x
+    P = F @ P @ F.T + Q
+    return x, P
+
+
+def batch_kf_update(z, x, P, R):
+    """Measurement update; H is a slice of the first 4 states."""
+    y = z - x[:, :4]
+    S = P[:, :4, :4] + R
+    K = P[:, :, :4] @ np.linalg.inv(S)
+    x = x + K @ y
+    P = P - K @ P[:, :4]
+    return x, P
+
+
+# ------------------------------------------------------------ extrapolation
+
+
+def extrap_clean_up(bboxes, w_img, h_img, min_size: int = 75, lt: bool = False):
+    """Clip extrapolated boxes to the image and drop degenerate/small ones
+    (`forecast/__init__.py:33-57`). Input [n,4] cxcywh (or ltwh if lt)."""
+    bboxes = np.asarray(bboxes, np.float64).copy()
+    keep = (bboxes[:, 2] > 0) & (bboxes[:, 3] > 0)
+    if lt:
+        bboxes[:, 2:] = bboxes[:, :2] + bboxes[:, 2:]
+    else:
+        bboxes[:, :2] = bboxes[:, :2] - bboxes[:, 2:] / 2
+        bboxes[:, 2:] = bboxes[:, :2] + bboxes[:, 2:]
+    bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, w_img)
+    bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, h_img)
+    bboxes[:, 2:] = bboxes[:, 2:] - bboxes[:, :2]
+    keep &= bboxes[:, 2].astype(int) * bboxes[:, 3].astype(int) >= min_size
+    return bboxes[keep], keep
+
+
+def bbox_extrap_lin(bboxes1, bboxes2, tk, w_img, h_img, min_size=75):
+    bboxes3 = np.asarray(bboxes2) + tk * (np.asarray(bboxes2) - np.asarray(bboxes1))
+    return extrap_clean_up(bboxes3, w_img, h_img, min_size, lt=True)
+
+
+def bbox_extrap_quad(bboxes1, bboxes2, v1, v2, tk, t32, w_img, h_img, min_size=75):
+    """Quadratic (velocity-aware) extrapolation (`forecast/__init__.py:64-89`)."""
+    n_v1, n_v2 = len(v1), len(v2)
+    if n_v1 == 0 or n_v2 == 0:
+        return bbox_extrap_lin(bboxes1, bboxes2, tk, w_img, h_img, min_size)
+    v2 = np.asarray(v2)[:n_v1]
+    v3 = v2 + tk * (v2 - np.asarray(v1))
+    bboxes1 = np.array(bboxes1, np.float64)
+    bboxes2 = np.array(bboxes2, np.float64)
+    bboxes1[:, :2] += bboxes1[:, 2:] / 2
+    bboxes2[:, :2] += bboxes2[:, 2:] / 2
+    bboxes3 = bboxes2[:n_v1] + v3 * t32
+    if len(bboxes1) > n_v1:
+        tail = bboxes2[n_v1:] + tk * (bboxes2[n_v1:] - bboxes1[n_v1:])
+        bboxes3 = np.vstack((bboxes3, tail))
+    return extrap_clean_up(bboxes3, w_img, h_img, min_size)
+
+
+# ------------------------------------------------------------ KF forecaster
+
+
+class KFForecaster:
+    """Stateful track set: associate new detections, KF-update matched
+    tracks, spawn new ones, and forecast all boxes to any future time.
+
+    This is the association/forecast core of the reference's Streamer loop
+    (`forecast/streamer.py:176-321`) as a reusable object.
+    """
+
+    def __init__(self, match_iou_th: float = 0.3, R_scale: float = 10.0,
+                 P_init_scale: float = 100.0):
+        # covariances match the reference (`forecast/streamer.py:140-143`):
+        # R = 10 I, P_init = 100 I (high initial uncertainty so the filter
+        # locks onto measurements quickly), Q = dt^2 I per step.
+        self.match_iou_th = match_iou_th
+        self.R = R_scale * np.eye(4)
+        self.P_init_scale = P_init_scale
+        self.reset()
+
+    def reset(self):
+        self.x = np.zeros((0, 8, 1))
+        self.P = np.zeros((0, 8, 8))
+        self.tracks = np.zeros(0, np.int64)
+        self.labels = np.zeros(0, np.int64)
+        self.scores = np.zeros(0)
+        self.tkidx = 0
+        self.last_t = None
+
+    def update(self, t: float, bboxes_ltwh, scores, labels):
+        """Ingest detections made from the frame at time ``t``."""
+        bboxes_ltwh = np.asarray(bboxes_ltwh, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        labels = np.asarray(labels, np.int64).reshape(-1)
+
+        if len(self.tracks) and self.last_t is not None:
+            dt = t - self.last_t
+            F = make_F(np.eye(8), dt)
+            Q = make_Q(np.eye(8), dt)
+            self.x, self.P = batch_kf_predict(F, self.x, self.P, Q)
+
+        if len(self.tracks) == 0:
+            self.x = bbox2x(bboxes_ltwh)
+            self.P = np.tile(self.P_init_scale * np.eye(8), (len(bboxes_ltwh), 1, 1))
+            self.tracks = np.arange(len(bboxes_ltwh), dtype=np.int64)
+            self.labels = labels
+            self.scores = scores
+            self.tkidx = len(bboxes_ltwh)
+        else:
+            prev_boxes = x2bbox(self.x)
+            order1, order2, n_matched, tracks2, self.tkidx = iou_assoc(
+                prev_boxes, self.labels, self.tracks, self.tkidx,
+                bboxes_ltwh, labels, self.match_iou_th,
+            )
+            # matched tracks: KF update with the new measurement
+            x = self.x[order1]
+            P = self.P[order1]
+            new_boxes = bboxes_ltwh[order2]
+            if n_matched:
+                x_m, P_m = batch_kf_update(
+                    bbox2z(new_boxes[:n_matched]), x[:n_matched], P[:n_matched], self.R
+                )
+            else:
+                x_m = x[:0]
+                P_m = P[:0]
+            # unmatched new detections: fresh tracks
+            n_new = len(new_boxes) - n_matched
+            x_new = bbox2x(new_boxes[n_matched:])
+            P_new = np.tile(self.P_init_scale * np.eye(8), (n_new, 1, 1))
+            self.x = np.concatenate((x_m, x_new))
+            self.P = np.concatenate((P_m, P_new))
+            self.tracks = tracks2
+            self.labels = labels[order2]
+            self.scores = scores[order2]
+        self.last_t = t
+
+    def forecast(self, t_query: float, w_img: int, h_img: int, min_size: int = 75):
+        """Predict all live tracks' boxes at ``t_query``; clean up."""
+        if len(self.tracks) == 0 or self.last_t is None:
+            return (
+                np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+            )
+        dt = t_query - self.last_t
+        F = make_F(np.eye(8), dt)
+        x_pred = batch_kf_predict_only(F, self.x)
+        bboxes, keep = extrap_clean_up(x2bbox(x_pred), w_img, h_img, min_size, lt=True)
+        return bboxes, self.scores[keep], self.labels[keep], self.tracks[keep]
+
+
+# ------------------------------------------------------------ Streamer
+
+
+def _det_process(detect_fn_builder, conn, frames_conn_or_none=None):
+    """Child process: build the detector and serve (fidx, frame) -> parsed
+    detections over the pipe; forwards full tracebacks to the parent instead
+    of dying silently (`forecast/streamer.py:97-100`)."""
+    try:
+        detect = detect_fn_builder()
+        conn.send("ready")
+        while True:
+            msg = conn.recv()
+            if msg is None:
+                break
+            fidx, frame = msg
+            conn.send((fidx, detect(frame)))
+    except Exception:
+        conn.send(("__error__", traceback.format_exc()))
+
+
+class Streamer:
+    """Detector-in-a-child-process + parent-side KF forecasting meta-detector
+    (`forecast/streamer.py:66-321`). The parent never blocks on the detector:
+    it polls the pipe, associates/updates tracks when results arrive, and can
+    emit a forecast for ANY query time in between."""
+
+    def __init__(self, detect_fn_builder: Callable[[], Callable],
+                 match_iou_th: float = 0.3):
+        ctx = mp.get_context("spawn")
+        self._parent_conn, child_conn = ctx.Pipe()
+        self._proc = ctx.Process(
+            target=_det_process, args=(detect_fn_builder, child_conn), daemon=True
+        )
+        self._proc.start()
+        ready = self._parent_conn.recv()
+        assert ready == "ready", ready
+        self.forecaster = KFForecaster(match_iou_th=match_iou_th)
+        self._in_flight = False
+
+    def submit(self, fidx: int, frame, t_sent: float) -> bool:
+        """Send a frame to the detector if it is idle. Returns whether sent."""
+        if self._in_flight:
+            return False
+        self._t_sent = t_sent
+        self._parent_conn.send((fidx, frame))
+        self._in_flight = True
+        return True
+
+    def poll(self, timeout: float = 0.0):
+        """Collect a finished detection if available and fold it into the
+        track set (timestamped at submission: the detection describes the
+        world at the input frame's time)."""
+        if self._in_flight and self._parent_conn.poll(timeout):
+            fidx, result = self._parent_conn.recv()
+            if fidx == "__error__":
+                raise RuntimeError(f"detector process failed:\n{result}")
+            self._in_flight = False
+            bboxes, scores, labels = result[:3]
+            if len(bboxes):
+                from streamyolo_tpu.stream.pairing import ltrb2ltwh
+
+                self.forecaster.update(self._t_sent, ltrb2ltwh(bboxes), scores, labels)
+            return fidx
+        return None
+
+    def forecast(self, t_query: float, w_img: int, h_img: int):
+        return self.forecaster.forecast(t_query, w_img, h_img)
+
+    def close(self):
+        try:
+            self._parent_conn.send(None)
+        except (BrokenPipeError, OSError):
+            pass
+        self._proc.join(timeout=5)
+        if self._proc.is_alive():
+            self._proc.terminate()
