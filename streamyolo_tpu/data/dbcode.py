@@ -1,0 +1,121 @@
+"""Dataset builders (the `/root/reference/sAP/dbcode/` capability):
+
+  * the 80 COCO class names + the 8-class Argoverse-HD subset mapping
+    (`dbinfo.py:95-104` — re-exported from ``argoverse_classes``);
+  * ``db_from_img_folder``: a COCO-format dataset skeleton from a directory
+    of frames (`db_from_img_folder.py` role);
+  * ``pseudo_gt_from_detections``: pseudo ground truth from detector outputs
+    with optional class-subset remapping (`pgt_class_sub.py` role).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+
+from streamyolo_tpu.data.argoverse_classes import ARGOVERSE_CLASSES, COCO_SUBSET
+
+COCO_CLASSES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic_light", "fire_hydrant", "stop_sign",
+    "parking_meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella", "handbag",
+    "tie", "suitcase", "frisbee", "skis", "snowboard", "sports_ball", "kite",
+    "baseball_bat", "baseball_glove", "skateboard", "surfboard",
+    "tennis_racket", "bottle", "wine_glass", "cup", "fork", "knife", "spoon",
+    "bowl", "banana", "apple", "sandwich", "orange", "broccoli", "carrot",
+    "hot_dog", "pizza", "donut", "cake", "chair", "couch", "potted_plant",
+    "bed", "dining_table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell_phone", "microwave", "oven", "toaster", "sink",
+    "refrigerator", "book", "clock", "vase", "scissors", "teddy_bear",
+    "hair_drier", "toothbrush",
+)
+
+# coco id -> argoverse-hd id for the 8-class subset
+COCO_TO_AVHD: Dict[int, int] = {c: i for i, c in enumerate(COCO_SUBSET)}
+
+
+def db_from_img_folder(
+    img_dir: str,
+    out_path: Optional[str] = None,
+    class_names: Sequence[str] = ARGOVERSE_CLASSES,
+    fps: float = 30.0,
+    exts: Sequence[str] = (".jpg", ".jpeg", ".png"),
+) -> dict:
+    """Build a COCO-format dataset dict (no annotations) from a folder of
+    sequence subdirectories (or a flat folder = one sequence)."""
+    entries = sorted(os.listdir(img_dir))
+    seq_names = [e for e in entries if os.path.isdir(os.path.join(img_dir, e))]
+    if not seq_names:
+        seq_names = [""]
+
+    images: List[dict] = []
+    seq_dirs: List[str] = []
+    sequences: List[str] = []
+    img_id = 0
+    for sid, seq in enumerate(seq_names):
+        seq_path = os.path.join(img_dir, seq) if seq else img_dir
+        sequences.append(seq or os.path.basename(os.path.normpath(img_dir)))
+        seq_dirs.append(seq)
+        frames = sorted(
+            f for f in os.listdir(seq_path) if f.lower().endswith(tuple(exts))
+        )
+        for fid, name in enumerate(frames):
+            img = cv2.imread(os.path.join(seq_path, name))
+            assert img is not None, os.path.join(seq_path, name)
+            h, w = img.shape[:2]
+            images.append(
+                dict(id=img_id, width=w, height=h, name=name, sid=sid, fid=fid)
+            )
+            img_id += 1
+
+    db = dict(
+        images=images,
+        annotations=[],
+        categories=[dict(id=i, name=n) for i, n in enumerate(class_names)],
+        sequences=sequences,
+        seq_dirs=seq_dirs,
+        fps=fps,
+    )
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(db, f)
+    return db
+
+
+def pseudo_gt_from_detections(
+    db: dict,
+    results_ccf: Sequence[dict],
+    score_th: float = 0.5,
+    class_mapping: Optional[Dict[int, int]] = None,
+    out_path: Optional[str] = None,
+) -> dict:
+    """Turn thresholded detections into annotations (pseudo ground truth),
+    optionally remapping class ids (e.g. COCO -> Argoverse-HD subset)."""
+    out = dict(db)
+    anns = []
+    ann_id = 0
+    for det in results_ccf:
+        if det["score"] < score_th:
+            continue
+        cat = det["category_id"]
+        if class_mapping is not None:
+            if cat not in class_mapping:
+                continue
+            cat = class_mapping[cat]
+        x, y, w, h = det["bbox"]
+        anns.append(
+            dict(id=ann_id, image_id=det["image_id"], category_id=int(cat),
+                 bbox=[float(x), float(y), float(w), float(h)],
+                 area=float(w * h), iscrowd=0)
+        )
+        ann_id += 1
+    out["annotations"] = anns
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+    return out

@@ -1,0 +1,128 @@
+"""Aux tooling tests: visualization, dataset builders, summary aggregation,
+model info."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from streamyolo_tpu.data.dbcode import (
+    COCO_CLASSES,
+    COCO_TO_AVHD,
+    db_from_img_folder,
+    pseudo_gt_from_detections,
+)
+from streamyolo_tpu.stream.collect_summary import collect_summary
+from streamyolo_tpu.vis import (
+    draw_detections,
+    html_all_sequences,
+    html_gallery,
+    make_video,
+    vis_contrast,
+    vis_det,
+)
+
+
+def _frames(tmp_path, seq="seq0", n=4):
+    d = tmp_path / seq
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        img = np.full((48, 64, 3), 20 * i, np.uint8)
+        p = str(d / f"f{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    return paths
+
+
+def test_draw_and_vis_det(tmp_path):
+    img = np.zeros((60, 80, 3), np.uint8)
+    out = draw_detections(
+        img, [[10, 10, 40, 40]], [2], ["a", "b", "car"], scores=[0.9]
+    )
+    assert out.shape == img.shape and out.sum() > 0
+    f = str(tmp_path / "vis" / "d.jpg")
+    vis_det(img, [[10, 10, 40, 40]], [2], ["a", "b", "car"], scores=[0.9], out_file=f)
+    assert os.path.isfile(f)
+
+
+def test_vis_contrast():
+    a = np.zeros((40, 50, 3), np.uint8)
+    b = np.ones((40, 50, 3), np.uint8)
+    c = vis_contrast(a, b)
+    assert c.shape == (40, 100, 3)
+
+
+def test_make_video(tmp_path):
+    paths = _frames(tmp_path)
+    out = make_video(paths, str(tmp_path / "out.mp4"), fps=10, numbered=True)
+    assert os.path.getsize(out) > 0
+
+
+def test_html_galleries(tmp_path):
+    _frames(tmp_path / "vis", "seq0")
+    _frames(tmp_path / "vis", "seq1")
+    g = html_gallery(
+        [str(tmp_path / "vis" / "seq0" / "f0.jpg")], str(tmp_path / "g.html")
+    )
+    assert "<img" in open(g).read()
+    h = html_all_sequences(str(tmp_path / "vis"), str(tmp_path / "all.html"), per_seq=2)
+    assert open(h).read().count("<img") >= 4
+
+
+def test_db_from_img_folder_and_pgt(tmp_path):
+    _frames(tmp_path / "data", "seqA", 3)
+    _frames(tmp_path / "data", "seqB", 2)
+    db = db_from_img_folder(str(tmp_path / "data"), str(tmp_path / "db.json"))
+    assert len(db["images"]) == 5
+    assert db["sequences"] == ["seqA", "seqB"]
+    assert db["images"][3] == dict(id=3, width=64, height=48, name="f0.jpg", sid=1, fid=0)
+
+    dets = [
+        dict(image_id=0, category_id=2, bbox=[1, 1, 10, 10], score=0.9),   # car
+        dict(image_id=0, category_id=4, bbox=[1, 1, 10, 10], score=0.9),   # airplane: dropped
+        dict(image_id=1, category_id=7, bbox=[2, 2, 8, 8], score=0.3),     # below th
+    ]
+    pgt = pseudo_gt_from_detections(db, dets, score_th=0.5, class_mapping=COCO_TO_AVHD)
+    assert len(pgt["annotations"]) == 1
+    assert pgt["annotations"][0]["category_id"] == COCO_TO_AVHD[2]  # car -> 2
+    assert len(COCO_CLASSES) == 80
+
+
+def test_collect_summary(tmp_path):
+    d = tmp_path / "exp1"
+    d.mkdir()
+    with open(d / "eval_summary.pkl", "wb") as f:
+        pickle.dump({"stats": np.linspace(0.1, 0.9, 12)}, f)
+    with open(d / "time_info.pkl", "wb") as f:
+        pickle.dump({"runtime_all": [0.02, 0.03], "n_processed": 2,
+                     "n_total": 4, "n_small_runtime": 2}, f)
+    rows = collect_summary([str(d)], str(tmp_path / "s.csv"))
+    assert rows[0]["sAP"] == 10.0
+    assert rows[0]["runtime_mean_ms"] == 25.0
+    assert rows[0]["pct_realtime"] == 100.0
+    assert os.path.isfile(tmp_path / "s.csv")
+
+
+def test_model_info():
+    import jax
+
+    from streamyolo_tpu.exp import get_exp
+
+    exp = get_exp(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cfgs", "s_s50_onex_dfp_tal_flip.py"))
+    model = exp.get_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 3), np.float32),
+        mode="off_pipe", train=False,
+    )
+    from streamyolo_tpu.utils.model_info import count_params, get_model_info
+
+    n = count_params(variables)
+    assert 8_000_000 < n < 10_000_000  # StreamYOLO-s ~9M params
+    info = get_model_info(model, variables, (64, 96))
+    assert info.startswith("Params: ") and "Gflops" in info
