@@ -5,6 +5,7 @@ from streamyolo_tpu.stream.online import (
     print_stats,
     run_streaming_detection,
     stream_sequence,
+    stream_sequence_infinite,
 )
 from streamyolo_tpu.stream.pairing import (
     eval_ccf,
@@ -28,6 +29,7 @@ __all__ = [
     "print_stats",
     "run_streaming_detection",
     "stream_sequence",
+    "stream_sequence_infinite",
     "eval_ccf",
     "ltrb2ltwh",
     "pair_streaming_results",

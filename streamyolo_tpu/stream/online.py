@@ -286,3 +286,36 @@ def run_streaming_detection(
             f"({100.0 * n_small_runtime / max(n_processed, 1):.4g}%)"
         )
     return time_info
+
+
+def stream_sequence_infinite(
+    frames: Sequence,
+    detector,
+    fps: float = 30.0,
+    runtime_dist: Optional[Empirical] = None,
+    frame_arg_is_index: bool = False,
+) -> Dict[str, list]:
+    """Infinite-compute simulation: EVERY frame is processed (as if by its
+    own accelerator); each result becomes visible at frame_time + runtime —
+    the `sAP/det/srt_det_inf.py` capability, used to isolate algorithmic
+    latency from device-count limits. Results are emitted in completion-time
+    order so the pairing pass consumes them like a real run."""
+    n_frame = len(frames)
+    detector.reset()
+    entries = []
+    for fidx in range(n_frame):
+        arg = fidx if frame_arg_is_index else frames[fidx]
+        result = detector(arg)
+        rt = runtime_dist.draw() if runtime_dist is not None else 0.0
+        entries.append((fidx / fps + rt, fidx, result, rt))
+    entries.sort(key=lambda e: e[0])
+    horizon = n_frame / fps
+    out = {"results_parsed": [], "timestamps": [], "input_fidx": [], "runtime": []}
+    for ts, fidx, result, rt in entries:
+        if ts >= horizon:
+            continue
+        out["timestamps"].append(ts)
+        out["results_parsed"].append(result)
+        out["input_fidx"].append(fidx)
+        out["runtime"].append(rt)
+    return out
