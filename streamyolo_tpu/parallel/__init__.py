@@ -63,3 +63,21 @@ __all__ = [
     "replicated",
     "shard_batch",
 ]
+
+from streamyolo_tpu.parallel.multihost import (
+    all_gather_objects,
+    get_rank,
+    get_world_size,
+    is_main_process,
+    psum_stats,
+    synchronize,
+)
+
+__all__ += [
+    "all_gather_objects",
+    "get_rank",
+    "get_world_size",
+    "is_main_process",
+    "psum_stats",
+    "synchronize",
+]

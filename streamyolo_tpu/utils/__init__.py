@@ -12,3 +12,9 @@ __all__ = [
     "merge_variables",
     "state_dict_to_variables",
 ]
+from streamyolo_tpu.utils.aot import aot_compile, enable_compilation_cache, time_synchronized
+from streamyolo_tpu.utils.checkpoint import load_checkpoint, load_ckpt_tolerant, save_checkpoint
+from streamyolo_tpu.utils.fuse import fuse_model_variables
+from streamyolo_tpu.utils.meters import AverageMeter, MeterBuffer, device_mem_usage_mb
+from streamyolo_tpu.utils.model_info import count_params, get_model_info
+from streamyolo_tpu.utils.wandb_logger import WandbLogger

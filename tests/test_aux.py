@@ -126,3 +126,52 @@ def test_model_info():
     assert 8_000_000 < n < 10_000_000  # StreamYOLO-s ~9M params
     info = get_model_info(model, variables, (64, 96))
     assert info.startswith("Params: ") and "Gflops" in info
+
+
+def test_multihost_helpers_single_process():
+    from streamyolo_tpu.parallel import (
+        all_gather_objects,
+        get_rank,
+        get_world_size,
+        is_main_process,
+        psum_stats,
+        synchronize,
+    )
+
+    assert get_rank() == 0 and get_world_size() == 1 and is_main_process()
+    synchronize()  # no-op
+    assert all_gather_objects({"a": [1, 2]}) == [{"a": [1, 2]}]
+    np.testing.assert_array_equal(psum_stats(np.array([1.0, 2.0])), [1.0, 2.0])
+
+
+def test_aot_compile_roundtrip():
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.utils.aot import aot_compile
+
+    compiled, secs = aot_compile(lambda x: x * 2 + 1, np.ones((4,), np.float32))
+    np.testing.assert_allclose(np.asarray(compiled(np.ones(4, np.float32))), 3.0)
+    assert secs >= 0
+
+
+def test_bbox_conversions():
+    from streamyolo_tpu.stream.bbox import (
+        bbox_sqrt_area,
+        cxywh2ltrb,
+        ltrb2cxywh,
+        ltrb2ltwh,
+        ltwh2ltrb,
+        ltwh2ltrb_,
+    )
+
+    ltwh = np.array([[10.0, 20.0, 30.0, 40.0]])
+    ltrb = ltwh2ltrb(ltwh)
+    np.testing.assert_allclose(ltrb, [[10, 20, 40, 60]])
+    np.testing.assert_allclose(ltrb2ltwh(ltrb), ltwh)
+    np.testing.assert_allclose(cxywh2ltrb([[25.0, 40.0, 30.0, 40.0]]), [[10, 20, 40, 60]])
+    np.testing.assert_allclose(ltrb2cxywh(ltrb), [[25, 40, 30, 40]])
+    np.testing.assert_allclose(bbox_sqrt_area(ltwh), [np.sqrt(1200.0)])
+    # in-place variant mutates
+    arr = ltwh.copy()
+    ltwh2ltrb_(arr)
+    np.testing.assert_allclose(arr, ltrb)
