@@ -290,3 +290,21 @@ class StreamExp(BaseExp):
 
     def eval(self, forward_fn, evaluator, is_distributed: bool = False, half: bool = False):
         return evaluator.evaluate(forward_fn, is_distributed, half)
+
+    # reference-surface alias (`yolox.exp.Exp.get_lr_scheduler` name)
+    def get_lr_scheduler(self, lr: float, iters_per_epoch: int):
+        """Note: the reference passes lr = basic_lr_per_img * batch; here the
+        schedule factory takes the batch size directly via get_lr_schedule.
+        This alias accepts the reference calling convention."""
+        from streamyolo_tpu.train import build_lr_schedule
+
+        return build_lr_schedule(
+            self.scheduler,
+            lr=lr,
+            iters_per_epoch=iters_per_epoch,
+            max_epoch=self.max_epoch,
+            warmup_epochs=self.warmup_epochs,
+            warmup_lr_start=self.warmup_lr,
+            min_lr_ratio=self.min_lr_ratio,
+            no_aug_epochs=self.no_aug_epochs,
+        )

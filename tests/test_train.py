@@ -116,3 +116,39 @@ def test_trainer_smoke(fake_argoverse, tmp_path):
     trainer2.before_train()
     assert trainer2.start_epoch == 1
     assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+def test_multiscale_random_resize_and_preprocess():
+    import jax.numpy as jnp
+
+    exp = get_exp(CFGS[0])
+    # seeded: same window -> same size on every host; sizes are 16-aligned
+    sizes = {exp.random_resize(step, epoch=0) for step in range(30)}
+    assert all(h % 16 == 0 and w % 16 == 0 for h, w in sizes)
+    assert len(sizes) > 3  # actually multiscale
+    assert exp.random_resize(5, epoch=0) == exp.random_resize(5, epoch=0)
+    # last epoch pins the canonical size
+    assert exp.random_resize(5, epoch=exp.max_epoch - 1) == tuple(exp.input_size)
+
+    # on-device resize scales cxcywh labels consistently
+    exp.input_size = (32, 64)
+    images = jnp.ones((2, 32, 64, 6), jnp.float32)
+    labels = jnp.asarray(np.tile([[2.0, 32.0, 16.0, 10.0, 8.0]], (2, 1, 1)))
+    out_images, (out_labels,) = exp.preprocess(images, (labels,), (16, 32))
+    assert out_images.shape == (2, 16, 32, 6)
+    np.testing.assert_allclose(
+        np.asarray(out_labels[0, 0]), [2.0, 16.0, 8.0, 5.0, 4.0]
+    )
+
+
+def test_lr_schedule_reference_shape():
+    """yoloxwarmcos with no_aug_epochs == max_epoch: quadratic warmup for one
+    epoch, then CONSTANT min_lr (the shipped-recipe quirk)."""
+    exp = get_exp(CFGS[0])
+    sched = exp.get_lr_schedule(batch_size=32, iters_per_epoch=100)
+    lr = 0.001 / 64 * 32
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(50)) == pytest.approx(lr * 0.25)   # (50/100)^2
+    assert float(sched(100)) == pytest.approx(lr)
+    assert float(sched(101)) == pytest.approx(lr * 0.05)  # min_lr from then on
+    assert float(sched(1400)) == pytest.approx(lr * 0.05)
