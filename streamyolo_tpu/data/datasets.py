@@ -28,7 +28,7 @@ id), ``fid`` (frame-in-sequence id), ``name``; the root carries ``seq_dirs``.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -15,10 +15,9 @@ via ``parallel.shard_batch`` (which replaces the CUDA side-stream prefetcher,
 from __future__ import annotations
 
 import itertools
-import os
 import random
 import uuid
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import torch

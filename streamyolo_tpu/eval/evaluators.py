@@ -24,16 +24,13 @@ reported with the same meter names as the reference (`:136-153`).
 
 from __future__ import annotations
 
-import io
 import itertools
-import json
 import time
-from contextlib import redirect_stdout
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import numpy as np
 
-from streamyolo_tpu.eval.cocoeval import COCOeval, COCOeval_opt
+from streamyolo_tpu.eval.cocoeval import COCOeval_opt
 from streamyolo_tpu.utils.logger import get_logger
 
 

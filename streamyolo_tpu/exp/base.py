@@ -17,7 +17,7 @@ import ast
 import importlib.util
 import os
 import sys
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 class BaseExp:

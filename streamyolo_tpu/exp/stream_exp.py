@@ -15,7 +15,7 @@ eval forward the evaluators consume.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

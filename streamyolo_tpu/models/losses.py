@@ -19,7 +19,7 @@ OOM->CPU fallback (`tal_head.py:345-376`) is obsolete: shapes are static.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

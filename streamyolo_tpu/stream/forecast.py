@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import traceback
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import numpy as np
 

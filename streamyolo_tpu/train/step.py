@@ -12,7 +12,7 @@ is unnecessary: TPU mixed precision is bf16 (same exponent range as fp32).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
