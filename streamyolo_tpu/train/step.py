@@ -75,22 +75,33 @@ def make_train_step(
     ignore_value: float = 1.5,
     use_l1: bool = True,
     use_tal: bool = True,
+    remat: bool = False,
 ):
     """Build the pure train step.
 
     Batch contract: ``images`` [B, H, W, 6] float (current ++ support,
     raw 0..255 — the reference applies no normalization), ``labels`` and
     ``support_labels`` [B, M, 5] (cls, cx, cy, w, h) zero-padded.
+
+    ``remat=True`` rematerializes the forward during backprop
+    (``jax.checkpoint``) — trades ~30% step FLOPs for roughly halved
+    activation HBM, the standard lever for growing per-chip batch at 600x960.
     """
 
-    def loss_fn(params, batch_stats, batch):
-        outputs, new_vars = model.apply(
+    def apply_fn(params, batch_stats, images):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"],
+            images,
             mode="off_pipe",
             train=True,
             mutable=["batch_stats"],
         )
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, new_vars = apply_fn(params, batch_stats, batch["images"])
         losses = streamyolo_losses(
             outputs,
             batch["labels"],

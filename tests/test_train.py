@@ -152,3 +152,36 @@ def test_lr_schedule_reference_shape():
     assert float(sched(100)) == pytest.approx(lr)
     assert float(sched(101)) == pytest.approx(lr * 0.05)  # min_lr from then on
     assert float(sched(1400)) == pytest.approx(lr * 0.05)
+
+
+def test_remat_train_step_matches():
+    """jax.checkpoint path must produce identical losses/grads."""
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.train import build_lr_schedule, create_train_state, make_train_step
+
+    exp = get_exp(CFGS[0])
+    exp.depth, exp.width = 0.33, 0.25
+    model = exp.get_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 6), np.float32),
+        mode="off_pipe", train=False,
+    )
+    sched = build_lr_schedule("yoloxwarmcos", 1e-3, 10, 15, 1, no_aug_epochs=15)
+    rng = np.random.RandomState(0)
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[:, 0] = [2.0, 16.0, 16.0, 10.0, 8.0]
+    batch = {
+        "images": rng.rand(2, 32, 32, 6).astype(np.float32) * 255,
+        "labels": labels,
+        "support_labels": labels.copy(),
+    }
+    outs = []
+    for remat in (False, True):
+        state, tx = create_train_state(variables, sched)
+        step = jax.jit(make_train_step(model, tx, 8, sched, remat=remat))
+        new_state, metrics = step(state, batch)
+        outs.append((float(metrics["total_loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
