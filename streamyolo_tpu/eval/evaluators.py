@@ -110,9 +110,18 @@ class _StreamEvaluatorBase:
         nms_time = 0.0
         n_samples = max(len(self.dataloader) - 1, 1)
 
+        batch_size = getattr(self.dataloader, "batch_size", None)
         for cur_iter, batch in enumerate(self.dataloader):
             imgs, _, info_imgs, ids = batch
             is_time_iter = cur_iter < len(self.dataloader) - 1
+
+            # Pad the last partial batch to the fixed batch size: XLA compiles
+            # per shape, and a second full compile for the tail batch costs
+            # far more than the padded rows (padding outputs are sliced off).
+            n_real = imgs.shape[0]
+            if batch_size and n_real < batch_size:
+                pad = np.zeros((batch_size - n_real,) + imgs.shape[1:], imgs.dtype)
+                imgs = np.concatenate([imgs, pad], axis=0)
 
             if is_time_iter:
                 start = time.perf_counter()
@@ -120,7 +129,9 @@ class _StreamEvaluatorBase:
             fixed = postprocess_fixed(
                 preds, self.num_classes, self.confthre, self.nmsthre
             )
-            dets = np.asarray(fixed)  # device sync
+            # slice padded rows off AFTER the fixed-shape postprocess so the
+            # NMS program compiles once too
+            dets = np.asarray(fixed)[:n_real]  # device sync
             if is_time_iter:
                 # forward+NMS are one fused program on TPU; report the whole
                 # step under "inference" and keep the NMS meter at the tiny
