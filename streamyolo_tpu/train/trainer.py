@@ -33,6 +33,23 @@ from streamyolo_tpu.utils.logger import get_logger, setup_logger
 from streamyolo_tpu.utils.meters import MeterBuffer, device_mem_usage_mb
 
 
+def _donation_safe() -> bool:
+    """Donate the train state only on backends where buffer donation is
+    reliable. Two known-bad environments: XLA:CPU multi-partition runs
+    deadlock the collective rendezvous on single-core hosts, and the axon
+    TPU relay (remote-attached dev chips, JAX_PLATFORMS=axon) rejects
+    donated train-state executions with INVALID_ARGUMENT. On directly
+    attached TPUs donation keeps the optimizer update in-place in HBM and
+    stays on."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return False
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    return True
+
+
 class Trainer:
     def __init__(self, exp, args):
         self.exp = exp
@@ -99,8 +116,9 @@ class Trainer:
             use_l1=True,
             use_tal=self.use_tal,
         )
-        donate = jax.devices()[0].platform != "cpu"
-        self.train_step = jit_train_step(step_fn, mesh=self.mesh, donate=donate)
+        self.train_step = jit_train_step(
+            step_fn, mesh=self.mesh, donate=_donation_safe()
+        )
         self.state = jax.device_put(state, replicated(self.mesh))
 
         self.evaluator = exp.get_evaluator(
