@@ -167,3 +167,55 @@ def test_schedule_sim_exact():
         st = sim(p_shrinking_tail, r, 13, 0)
         assert st <= sim(p_idle_free, r, 13, 0)
         assert st <= sim(p_idle_next, r, 13, 0)
+
+
+def test_run_streaming_detection_and_eval_files(fake_argoverse, tmp_path):
+    """Whole-dataset simulated run -> per-seq pkls + time_info.pkl ->
+    streaming_eval reads them back and produces the sAP summary files."""
+    from streamyolo_tpu.stream import (
+        run_streaming_detection,
+        streaming_eval,
+    )
+
+    db = _db(fake_argoverse)
+
+    class GtDetector:
+        """Reads the (already loaded) frame index via closure state: emits
+        the gt of whatever frame it is given (frames are BGR arrays here, so
+        track the call order per sequence via reset())."""
+
+        def __init__(self):
+            self.sid = -1
+
+        def reset(self):
+            self.sid += 1
+            self.fidx = 0
+            self.gt = _gt_oracle(db, self.sid)
+
+        def __call__(self, frame):
+            boxes, labels = self.gt(self.fidx)
+            self.fidx += 1
+            return (np.asarray(boxes, float), np.ones(len(boxes)),
+                    np.asarray(labels, np.int32), None)
+
+    det = GtDetector()
+    out_dir = str(tmp_path / "run")
+    from streamyolo_tpu.stream import Empirical, SimClock
+
+    time_info = run_streaming_detection(
+        db, os.path.join(fake_argoverse, "Argoverse-1.1", "tracking"), out_dir,
+        det, fps=FPS, clock=SimClock(),
+        runtime_dist=Empirical([1.0 / FPS], seed=0), overwrite=True,
+    )
+    assert os.path.isfile(os.path.join(out_dir, "seq0.pkl"))
+    assert os.path.isfile(os.path.join(out_dir, "time_info.pkl"))
+    assert time_info["n_total"] == 7
+    assert time_info["n_small_runtime"] == 0  # exactly one period, not under
+
+    summary, assoc = streaming_eval(db, out_dir, fps=FPS, eta=0, overwrite=True)
+    assert os.path.isfile(os.path.join(out_dir, "eval_summary.pkl"))
+    assert os.path.isfile(os.path.join(out_dir, "eval_assoc.pkl"))
+    assert assoc["miss"] == 2
+    # detector consumed frames in order 0,1,2 per sequence under the 1-period
+    # runtime -> same protocol as test_stream_protocol_one_period_runtime
+    assert summary["stats"][1] == pytest.approx(72 / 101, abs=1e-9)
