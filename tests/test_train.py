@@ -185,3 +185,43 @@ def test_remat_train_step_matches():
                      np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])))
     assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_overfit_fixed_batch_loss_decreases():
+    """End-to-end learning signal: ~60 SGD steps on one fixed tiny batch must
+    cut the total loss by well over half (catches silent gradient breakage:
+    wrong stop-gradients, assignment drift, optimizer wiring)."""
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.train import (
+        build_lr_schedule,
+        create_train_state,
+        make_train_step,
+    )
+
+    exp = get_exp(CFGS[0])
+    exp.depth, exp.width = 0.33, 0.25
+    model = exp.get_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
+        mode="off_pipe", train=False,
+    )
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (2, 64, 96, 6)).astype(np.float32)
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[:, 0] = [2.0, 48.0, 32.0, 24.0, 18.0]
+    labels[:, 1] = [5.0, 20.0, 50.0, 16.0, 12.0]
+    batch = {"images": images, "labels": labels, "support_labels": labels.copy()}
+
+    sched = build_lr_schedule("constant", 5e-3, 10, 100)
+    state, tx = create_train_state(variables, sched)
+    step = jax.jit(make_train_step(model, tx, 8, sched))
+    first = None
+    for i in range(60):
+        state, metrics = step(state, batch)
+        if i == 0:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
