@@ -132,10 +132,18 @@ def simota_assign_single(
         jnp.sum(topk_ious, axis=1).astype(jnp.int32), 1
     )  # [M]
 
-    # per-gt k-lowest-cost selection via rank comparison
-    order = jnp.argsort(cost, axis=1)  # ascending
-    ranks = jnp.argsort(order, axis=1)  # rank of each anchor within its row
-    matching = ranks < dynamic_ks[:, None]  # [M, N]
+    # per-gt k-lowest-cost selection. dynamic_k = clamp(sum of top-10 IoUs)
+    # is ALWAYS <= 10, so only the 10 smallest costs per row matter — a
+    # top-k + scatter instead of a full [M, N] argsort (the sort was the
+    # train step's hotspot: 2 x bitonic sort of 11850 elements x M rows).
+    _, low_idx = jax.lax.top_k(-cost, n_cand_k)  # [M, 10] lowest-cost anchors
+    j_in_k = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, n_cand_k), 1)
+        < dynamic_ks[:, None]
+    )
+    matching = jnp.any(
+        jax.nn.one_hot(low_idx, n, dtype=jnp.bool_) & j_in_k[..., None], axis=1
+    )  # [M, N]
     matching = matching & gt_valid[:, None] & fg_cand[None, :]
 
     # conflict resolution: anchors matched by >1 gt -> argmin cost over all gts
