@@ -1,0 +1,61 @@
+"""CLI surface tests (in-process, CPU backend from conftest)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_train_parser_flags():
+    import importlib
+
+    train = importlib.import_module("train")
+    args = train.make_parser().parse_args(
+        ["-f", "cfgs/s_s50_onex_dfp_tal_flip.py", "-b", "16", "--fp16",
+         "-c", "w.pth", "--resume", "-e", "3", "max_epoch", "2"]
+    )
+    assert args.batch_size == 16 and args.fp16 and args.resume
+    assert args.start_epoch == 3 and args.ckpt == "w.pth"
+    assert args.opts == ["max_epoch", "2"]
+
+
+def test_eval_cli_speed_mode(tmp_path, monkeypatch, capsys):
+    """--speed: no dataset, no checkpoint — compiles the batched forward+NMS
+    on synthetic input and logs throughput."""
+    import importlib
+
+    eval_mod = importlib.import_module("eval")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval.py", "-f", os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"),
+         "-b", "1", "--speed", "--tsize", "64", "96",
+         "output_dir", str(tmp_path)],
+    )
+    eval_mod.main()
+    log = open(os.path.join(
+        str(tmp_path), "s_s50_onex_dfp_tal_flip", "val_log.txt")).read()
+    assert "speed test:" in log
+    assert "Params:" in log
+
+
+def test_stream_det_parser():
+    import importlib
+
+    sd = importlib.import_module("stream_det")
+    args = sd.parse_args.__wrapped__() if hasattr(sd.parse_args, "__wrapped__") else None
+    # just validate flag surface via parse of a full command line
+    sys_argv = sys.argv
+    sys.argv = ["stream_det.py", "--data-root", "/x", "--annot-path", "/y",
+                "--out-dir", "/z", "--config", "c.py", "--weights", "w.pth",
+                "--dynamic-schedule", "--fps", "30", "--in_scale", "0.5"]
+    try:
+        args = sd.parse_args()
+    finally:
+        sys.argv = sys_argv
+    assert args.dynamic_schedule and args.fps == 30 and args.in_scale == 0.5

@@ -71,11 +71,12 @@ def main():
     model = exp.get_model()
     variables = exp.init_model(model)
 
-    ckpt_file = args.ckpt or os.path.join(file_name, "best_ckpt.pkl")
-    logger.info(f"loading checkpoint from {ckpt_file}")
-    ckpt = load_checkpoint(ckpt_file)
-    variables = merge_variables(variables, ckpt["model"], strict=False)
-    logger.info("loaded checkpoint done.")
+    if not args.speed:  # speed-only mode runs on init weights (`eval.py:161`)
+        ckpt_file = args.ckpt or os.path.join(file_name, "best_ckpt.pkl")
+        logger.info(f"loading checkpoint from {ckpt_file}")
+        ckpt = load_checkpoint(ckpt_file)
+        variables = merge_variables(variables, ckpt["model"], strict=False)
+        logger.info("loaded checkpoint done.")
 
     if args.fuse:
         from streamyolo_tpu.utils.fuse import fuse_model_variables
@@ -83,8 +84,44 @@ def main():
         logger.info("\tFusing conv+BN...")
         variables = fuse_model_variables(variables)
 
-    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
     forward_fn = exp.get_forward_fn(model, variables)
+
+    if args.speed:
+        # speed-only mode (`/root/reference/tools/eval.py --speed`): time the
+        # batched forward+NMS on synthetic data, no dataset needed.
+        import time
+
+        import numpy as np
+
+        from streamyolo_tpu.ops.nms import postprocess_fixed
+        from streamyolo_tpu.utils.model_info import get_model_info
+
+        logger.info(get_model_info(model, variables, exp.test_size))
+        h, w = exp.test_size
+        imgs = np.random.RandomState(0).randint(
+            0, 255, (args.batch_size, h, w, 6)
+        ).astype(np.float32)
+        for _ in range(3):  # warmup/compile
+            dets = postprocess_fixed(
+                forward_fn(imgs), exp.num_classes, exp.test_conf, exp.nmsthre
+            )
+            np.asarray(dets)
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            dets = postprocess_fixed(
+                forward_fn(imgs), exp.num_classes, exp.test_conf, exp.nmsthre
+            )
+            np.asarray(dets)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        logger.info(
+            f"speed test: {med * 1e3:.1f} ms / batch of {args.batch_size} "
+            f"({args.batch_size / med:.1f} imgs/s)"
+        )
+        return
+
+    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
     ap, ap50, summary = exp.eval(forward_fn, evaluator)
     logger.info(f"\n{summary}")
     logger.info(f"AP: {ap:.4f}  AP50: {ap50:.4f}")
