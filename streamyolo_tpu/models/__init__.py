@@ -13,3 +13,14 @@ __all__ = [
     "YOLOX",
     "StreamYOLO",
 ]
+from streamyolo_tpu.models.assign import Assignment, simota_assign_batch, simota_assign_single
+from streamyolo_tpu.models.losses import bce_with_logits, iou_loss, streamyolo_losses
+
+__all__ += [
+    "Assignment",
+    "simota_assign_batch",
+    "simota_assign_single",
+    "bce_with_logits",
+    "iou_loss",
+    "streamyolo_losses",
+]

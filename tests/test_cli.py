@@ -48,8 +48,7 @@ def test_stream_det_parser():
     import importlib
 
     sd = importlib.import_module("stream_det")
-    args = sd.parse_args.__wrapped__() if hasattr(sd.parse_args, "__wrapped__") else None
-    # just validate flag surface via parse of a full command line
+    # validate the flag surface via a full command line
     sys_argv = sys.argv
     sys.argv = ["stream_det.py", "--data-root", "/x", "--annot-path", "/y",
                 "--out-dir", "/z", "--config", "c.py", "--weights", "w.pth",
