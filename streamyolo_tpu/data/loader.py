@@ -129,7 +129,6 @@ class DataLoader(torch.utils.data.DataLoader):
         # TPU input: no pinned CUDA memory involved.
         kwargs.pop("pin_memory", None)
         super().__init__(_IndexUnpackDataset(dataset), pin_memory=False, **kwargs)
-        self.batch_sampler_ref = kwargs.get("batch_sampler")
 
 
 class DevicePrefetcher:

@@ -60,9 +60,6 @@ class _StreamEvaluatorBase:
     """Shared driver: iterate the val loader, run the jitted forward+NMS,
     convert to COCO json rows, run COCOeval."""
 
-    # subclass knobs
-    id_shift = 0
-
     def __init__(
         self,
         dataloader,

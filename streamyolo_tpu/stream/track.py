@@ -18,6 +18,11 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+try:  # C++ fast path (built on first import); Python twin is the oracle
+    from streamyolo_tpu.native import iou_assoc_greedy_cpp as _iou_assoc_cpp
+except Exception:  # pragma: no cover - toolchain missing
+    _iou_assoc_cpp = None
+
 
 def iou_ltwh(bboxes1: np.ndarray, bboxes2: np.ndarray) -> np.ndarray:
     """[m,4] x [n,4] ltwh -> [m,n] IoU (the maskUtils.iou capability used at
@@ -66,16 +71,13 @@ def iou_assoc(
     shuffled to the front of both orders.
     """
     m = len(bboxes1)
-    try:
-        from streamyolo_tpu.native import iou_assoc_greedy_cpp
-
-        ious = iou_ltwh(bboxes1, bboxes2)
-        matched1, matched2, unmatched2 = iou_assoc_greedy_cpp(
+    ious = iou_ltwh(bboxes1, bboxes2)
+    if _iou_assoc_cpp is not None:
+        matched1, matched2, unmatched2 = _iou_assoc_cpp(
             ious, np.asarray(labels1, np.int64), np.asarray(labels2, np.int64),
             match_iou_th,
         )
-    except ImportError:
-        ious = iou_ltwh(bboxes1, bboxes2)
+    else:
         matched1, matched2, unmatched2 = _greedy_match(
             ious, labels1, labels2, match_iou_th
         )
