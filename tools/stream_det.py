@@ -36,6 +36,9 @@ def parse_args():
     parser.add_argument("--overwrite", action="store_true", default=False)
     parser.add_argument("--sim-zoo", type=str, default=None,
                         help="runtime zoo pkl: run under a fake clock with simulated runtimes")
+    parser.add_argument("--infinite", action="store_true", default=False,
+                        help="infinite-compute simulation: process EVERY frame "
+                             "(srt_det_inf protocol); requires --sim-zoo")
     parser.add_argument("--sim-name", type=str, default=None, help="zoo entry name")
     parser.add_argument("--perf-factor", type=float, default=1.0)
     return parser.parse_args()
@@ -79,6 +82,30 @@ def main():
         runtime_dist = dist_from_zoo(
             args.sim_zoo, args.sim_name, perf_factor=args.perf_factor
         )
+
+    if args.infinite:
+        import pickle
+
+        import cv2
+
+        from streamyolo_tpu.stream import stream_sequence_infinite
+
+        assert runtime_dist is not None, "--infinite requires --sim-zoo"
+        os.makedirs(args.out_dir, exist_ok=True)
+        seq_dirs = db.dataset["seq_dirs"]
+        for sid, seq in enumerate(db.dataset["sequences"]):
+            frames = []
+            for img in (i for i in db.imgs.values() if i["sid"] == sid):
+                frame = cv2.imread(os.path.join(args.data_root, seq_dirs[sid], img["name"]))
+                assert frame is not None
+                frames.append(frame)
+            detector.reset()
+            result = stream_sequence_infinite(
+                frames, detector, fps=args.fps, runtime_dist=runtime_dist
+            )
+            with open(os.path.join(args.out_dir, seq + ".pkl"), "wb") as f:
+                pickle.dump(result, f)
+        return
 
     run_streaming_detection(
         db, args.data_root, args.out_dir, detector,
