@@ -120,8 +120,22 @@ class DFPPAFPN(nn.Module):
                 cur_img = sup_img = x
             else:
                 cur_img, sup_img = x[..., :3], x[..., 3:]
-            cur = self.pafpn(cur_img, train=train)
-            sup = self.pafpn(sup_img, train=train)
+            if not train:
+                # Eval: ONE batched backbone pass over [cur ++ sup] — BN uses
+                # running stats so the math is identical to two passes, and
+                # the doubled batch tiles the MXU far better (the torch
+                # reference always runs two passes, `dfp_pafpn.py:120-167`).
+                b = cur_img.shape[0]
+                both = self.pafpn(
+                    jnp.concatenate([cur_img, sup_img], axis=0), train=False
+                )
+                cur = tuple(o[:b] for o in both)
+                sup = tuple(o[b:] for o in both)
+            else:
+                # Train: two passes like the reference — batch-stat BN over a
+                # jointly-batched pass would mix current/support statistics.
+                cur = self.pafpn(cur_img, train=True)
+                sup = self.pafpn(sup_img, train=True)
             return self._dfp_fuse(cur, sup, train=train)
 
         # on_pipe
