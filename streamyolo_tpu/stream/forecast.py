@@ -284,3 +284,65 @@ class Streamer:
         self._proc.join(timeout=5)
         if self._proc.is_alive():
             self._proc.terminate()
+
+
+def forecast_results(
+    db,
+    results_by_seq,
+    fps: float = 30.0,
+    eta: int = 0,
+    match_iou_th: float = 0.3,
+    min_size: int = 75,
+):
+    """Post-hoc KF forecasting over a saved streaming run (the
+    `/root/reference/sAP/forecast/pps_forecast_kf.py:99-325` capability):
+    re-play each sequence's timestamped detections through the association +
+    Kalman tracker and, for every gt frame time, emit the tracks' boxes
+    FORECAST to that time instead of the stale last output.
+
+    Returns (results_ccf, assoc_counters) matching the pairing-pass contract
+    so the result feeds ``eval_ccf`` directly.
+    """
+    from streamyolo_tpu.stream.pairing import ltrb2ltwh
+
+    seqs = db.dataset["sequences"]
+    results_ccf = []
+    miss = 0
+    for sid, seq in enumerate(seqs):
+        frame_list = [img for img in db.imgs.values() if img["sid"] == sid]
+        results = results_by_seq[seq]
+        parsed = results["results_parsed"]
+        timestamps = results["timestamps"]
+        input_fidx = results["input_fidx"]
+
+        f = KFForecaster(match_iou_th=match_iou_th)
+        tidx = 0
+        for ii, img in enumerate(frame_list):
+            t_query = (ii - eta) / fps
+            # fold in every detection that has landed by the query time,
+            # timestamped at its INPUT frame's capture time (that is the
+            # world state the boxes describe)
+            while tidx < len(timestamps) and timestamps[tidx] <= t_query:
+                bboxes, scores, labels = parsed[tidx][:3]
+                if len(bboxes):
+                    f.update(
+                        input_fidx[tidx] / fps, ltrb2ltwh(np.asarray(bboxes)),
+                        scores, labels,
+                    )
+                tidx += 1
+            if f.last_t is None:
+                miss += 1
+                continue
+            bboxes_ltwh, scores, labels, _ = f.forecast(
+                t_query, img["width"], img["height"], min_size=min_size
+            )
+            for i in range(len(bboxes_ltwh)):
+                results_ccf.append(
+                    {
+                        "image_id": img["id"],
+                        "bbox": [float(v) for v in bboxes_ltwh[i]],
+                        "score": float(scores[i]),
+                        "category_id": int(labels[i]),
+                    }
+                )
+    return results_ccf, {"miss": miss}
