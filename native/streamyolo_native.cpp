@@ -129,3 +129,186 @@ void bbox_iou_ltwh(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full COCO evaluation core: per-cell greedy matching for every area range
+// plus the accumulate pass (global score sort, PR curves), in one call —
+// the actual shape of the reference's C++ COCOeval_opt. The NumPy COCOeval
+// remains the oracle.
+//
+// Cells are (category k, image i) pairs, k-major: cell = k * I + i.
+// dts within a cell arrive pre-sorted by descending score (stable);
+// per-cell counts come via offset arrays (CSR style).
+//
+// Outputs:
+//   precision [T, R, K, A, M] (row-major), recall [T, K, A, M],
+//   scores [T, R, K, A, M]; untouched entries must be pre-filled with -1.
+extern "C" void cocoeval_run(
+    int64_t K, int64_t I,
+    const int64_t* dt_off,   // [K*I + 1]
+    const int64_t* gt_off,   // [K*I + 1]
+    const double* dt_scores, // [sum D] sorted desc per cell
+    const double* dt_boxes,  // [sum D, 4] ltwh
+    const double* dt_areas,  // [sum D]
+    const double* gt_boxes,  // [sum G, 4] ltwh
+    const double* gt_areas,  // [sum G]
+    const uint8_t* gt_crowd, // [sum G]
+    const uint8_t* gt_ign0,  // [sum G] base ignore flag
+    const double* iou_thrs, int64_t T,
+    const double* rec_thrs, int64_t R,
+    const double* area_rng,  // [A*2]
+    int64_t A,
+    const int64_t* max_dets, int64_t M,
+    double* precision,       // [T*R*K*A*M]
+    double* recall,          // [T*K*A*M]
+    double* out_scores       // [T*R*K*A*M]
+) {
+  const int64_t max_det_cap = max_dets[M - 1];
+
+  struct DtRec {
+    double score;
+    int64_t rank;    // rank within its image (post score sort)
+    int64_t order;   // global insertion order (image-major) for stable ties
+    // per-threshold flags, bit t of each mask
+    uint32_t matched;
+    uint32_t ignored;
+  };
+
+  std::vector<int64_t> gt_order;
+  std::vector<uint8_t> gt_ig;
+  std::vector<int64_t> gtm;
+  std::vector<DtRec> pool;
+  std::vector<double> cell_iou;
+
+  for (int64_t k = 0; k < K; ++k) {
+    for (int64_t a = 0; a < A; ++a) {
+      const double lo = area_rng[a * 2], hi = area_rng[a * 2 + 1];
+      pool.clear();
+      int64_t npig = 0;
+      int64_t order_counter = 0;
+
+      for (int64_t i = 0; i < I; ++i) {
+        const int64_t cell = k * I + i;
+        const int64_t d0 = dt_off[cell], d1 = dt_off[cell + 1];
+        const int64_t g0 = gt_off[cell], g1 = gt_off[cell + 1];
+        const int64_t D_all = d1 - d0;
+        const int64_t G = g1 - g0;
+        if (D_all == 0 && G == 0) continue;
+        const int64_t D = std::min(D_all, max_det_cap);
+
+        // gt ignore flags for this area + stable sort ignored-last
+        gt_ig.resize(G);
+        gt_order.resize(G);
+        for (int64_t g = 0; g < G; ++g) {
+          const double ga = gt_areas[g0 + g];
+          gt_ig[g] = (gt_ign0[g0 + g] || ga < lo || ga > hi) ? 1 : 0;
+          gt_order[g] = g;
+        }
+        std::stable_sort(gt_order.begin(), gt_order.end(),
+                         [&](int64_t x, int64_t y) { return gt_ig[x] < gt_ig[y]; });
+
+        for (int64_t g = 0; g < G; ++g)
+          if (gt_ig[g] == 0) ++npig;
+
+        // per-cell IoU (dt ltwh vs gt ltwh; crowd => over-dt-area)
+        cell_iou.resize(D * G);
+        bbox_iou_ltwh(dt_boxes + d0 * 4, D, gt_boxes + g0 * 4, G,
+                      gt_crowd + g0, cell_iou.data());
+        const double* cell_ious = cell_iou.data();
+
+        // matching
+        gtm.assign(T * G, -1);
+        const int64_t base = pool.size();
+        for (int64_t d = 0; d < D; ++d) {
+          DtRec rec;
+          rec.score = dt_scores[d0 + d];
+          rec.rank = d;
+          rec.order = order_counter++;
+          rec.matched = 0;
+          rec.ignored = 0;
+          pool.push_back(rec);
+        }
+        for (int64_t t = 0; t < T; ++t) {
+          const double thr = std::min(iou_thrs[t], 1.0 - 1e-10);
+          for (int64_t d = 0; d < D; ++d) {
+            double best = thr;
+            int64_t m = -1;  // position in sorted gt order
+            for (int64_t gpos = 0; gpos < G; ++gpos) {
+              const int64_t g = gt_order[gpos];
+              if (gtm[t * G + gpos] >= 0 && !gt_crowd[g0 + g]) continue;
+              if (m > -1 && gt_ig[gt_order[m]] == 0 && gt_ig[g] == 1) break;
+              const double iou = cell_ious[d * G + g];
+              if (iou < best) continue;
+              best = iou;
+              m = gpos;
+            }
+            DtRec& rec = pool[base + d];
+            if (m == -1) {
+              // unmatched: ignored if the dt's area is outside the range
+              const double da = dt_areas[d0 + d];
+              if (da < lo || da > hi) rec.ignored |= (1u << t);
+              continue;
+            }
+            gtm[t * G + m] = d;
+            rec.matched |= (1u << t);
+            if (gt_ig[gt_order[m]]) rec.ignored |= (1u << t);
+          }
+        }
+      }
+
+      if (npig == 0) continue;
+
+      // global stable sort by descending score (ties keep image order)
+      std::stable_sort(pool.begin(), pool.end(), [](const DtRec& x, const DtRec& y) {
+        return x.score > y.score;
+      });
+
+      for (int64_t m = 0; m < M; ++m) {
+        const int64_t cap = max_dets[m];
+        // walk the sorted pool, skipping dts beyond this maxDet
+        for (int64_t t = 0; t < T; ++t) {
+          double tp = 0, fp = 0;
+          double last_rc = 0;
+          // precision envelope needs all points first
+          static thread_local std::vector<double> rc_v, pr_v, sc_v;
+          rc_v.clear(); pr_v.clear(); sc_v.clear();
+          for (const DtRec& rec : pool) {
+            if (rec.rank >= cap) continue;
+            const bool ig = rec.ignored & (1u << t);
+            const bool mt = rec.matched & (1u << t);
+            if (mt && !ig) tp += 1;
+            else if (!mt && !ig) fp += 1;
+            else continue;  // ignored dts contribute no point
+            rc_v.push_back(tp / npig);
+            pr_v.push_back(tp / (tp + fp + 1e-300));
+            sc_v.push_back(rec.score);
+          }
+          const int64_t nd = rc_v.size();
+          const int64_t base_out =
+              ((t * R) * K + 0) * A * M;  // recomputed per r below
+          last_rc = nd ? rc_v.back() : 0;
+          recall[((t * K + k) * A + a) * M + m] = last_rc;
+          // monotone envelope
+          for (int64_t p = nd - 1; p > 0; --p)
+            if (pr_v[p] > pr_v[p - 1]) pr_v[p - 1] = pr_v[p];
+          // sample at recall thresholds (searchsorted left)
+          int64_t pi = 0;
+          for (int64_t r = 0; r < R; ++r) {
+            // first index with rc >= rec_thrs[r]
+            while (pi < nd && rc_v[pi] < rec_thrs[r]) ++pi;
+            const int64_t out =
+                (((t * R + r) * K + k) * A + a) * M + m;
+            if (pi < nd) {
+              precision[out] = pr_v[pi];
+              out_scores[out] = sc_v[pi];
+            } else {
+              precision[out] = 0.0;
+              out_scores[out] = 0.0;
+            }
+          }
+          (void)base_out;
+        }
+      }
+    }
+  }
+}

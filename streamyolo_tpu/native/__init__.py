@@ -125,3 +125,47 @@ def bbox_iou_ltwh_cpp(
         np.ascontiguousarray(iscrowd, np.uint8), out,
     )
     return out
+
+
+_lib.cocoeval_run.argtypes = [
+    ctypes.c_int64, ctypes.c_int64,
+    _i64p, _i64p,
+    _f64p, _f64p, _f64p,        # dt: scores, boxes, areas
+    _f64p, _f64p, _u8p, _u8p,   # gt: boxes, areas, crowd, ignore0
+    _f64p, ctypes.c_int64,      # iou_thrs, T
+    _f64p, ctypes.c_int64,      # rec_thrs, R
+    _f64p, ctypes.c_int64,      # area_rng, A
+    _i64p, ctypes.c_int64,      # max_dets, M
+    _f64p, _f64p, _f64p,        # precision, recall, scores
+]
+
+
+def cocoeval_run_cpp(
+    K, I, dt_off, gt_off, dt_scores, dt_boxes, dt_areas,
+    gt_boxes, gt_areas, gt_crowd, gt_ign0,
+    iou_thrs, rec_thrs, area_rng, max_dets,
+):
+    """Full COCO evaluate+accumulate in one native call. Returns
+    (precision [T,R,K,A,M], recall [T,K,A,M], scores [T,R,K,A,M])."""
+    T, R, A, M = len(iou_thrs), len(rec_thrs), len(area_rng), len(max_dets)
+    precision = np.full((T, R, K, A, M), -1.0)
+    recall = np.full((T, K, A, M), -1.0)
+    scores = np.full((T, R, K, A, M), -1.0)
+    _lib.cocoeval_run(
+        K, I,
+        np.ascontiguousarray(dt_off, np.int64),
+        np.ascontiguousarray(gt_off, np.int64),
+        np.ascontiguousarray(dt_scores, np.float64),
+        np.ascontiguousarray(dt_boxes, np.float64),
+        np.ascontiguousarray(dt_areas, np.float64),
+        np.ascontiguousarray(gt_boxes, np.float64),
+        np.ascontiguousarray(gt_areas, np.float64),
+        np.ascontiguousarray(gt_crowd, np.uint8),
+        np.ascontiguousarray(gt_ign0, np.uint8),
+        np.ascontiguousarray(iou_thrs, np.float64), T,
+        np.ascontiguousarray(rec_thrs, np.float64), R,
+        np.ascontiguousarray(np.asarray(area_rng, np.float64).reshape(-1)), A,
+        np.ascontiguousarray(max_dets, np.int64), M,
+        precision.reshape(-1), recall.reshape(-1), scores.reshape(-1),
+    )
+    return precision, recall, scores
