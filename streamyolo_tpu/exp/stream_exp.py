@@ -100,14 +100,24 @@ class StreamExp(BaseExp):
         return model.init(key, dummy, mode="off_pipe", train=False)
 
     def get_forward_fn(self, model, variables, mode: str = "off_pipe"):
-        """Jitted eval forward: NHWC float batch -> decoded [B, N, 5+C]."""
+        """Jitted eval forward: NHWC float batch -> decoded [B, N, 5+C].
+
+        The jitted callable is cached per (exp, mode) with the variables as a
+        traced ARGUMENT — so per-epoch eval with fresh EMA weights reuses the
+        compiled executable instead of recompiling (closure-captured
+        variables would key a new jit cache entry every epoch)."""
+        import functools
+
         import jax
 
-        @jax.jit
-        def forward(images):
-            return model.apply(variables, images, mode=mode, train=False)
-
-        return forward
+        cache = getattr(self, "_forward_jit_cache", None)
+        if cache is None:
+            cache = self._forward_jit_cache = {}
+        if mode not in cache:
+            cache[mode] = jax.jit(
+                lambda v, images: model.apply(v, images, mode=mode, train=False)
+            )
+        return functools.partial(cache[mode], variables)
 
     # ---------------- data ----------------
 
