@@ -225,3 +225,24 @@ def test_overfit_fixed_batch_loss_decreases():
     last = float(metrics["total_loss"])
     assert np.isfinite(last)
     assert last < 0.5 * first, (first, last)
+
+
+def test_forward_fn_reuses_compiled_executable():
+    """get_forward_fn must NOT recompile per weight set (per-epoch EMA eval):
+    the jit is cached with the variables as a traced argument."""
+    import jax.numpy as jnp
+
+    exp = get_exp(CFGS[0])
+    exp.depth, exp.width = 0.33, 0.25
+    model = exp.get_model()
+    v1 = model.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 6), np.float32),
+                    mode="off_pipe", train=False)
+    v2 = jax.tree_util.tree_map(lambda x: x + 0.01, v1)
+    x = np.zeros((1, 32, 32, 6), np.float32)
+    f1 = exp.get_forward_fn(model, v1)
+    f2 = exp.get_forward_fn(model, v2)
+    o1 = np.asarray(f1(x))
+    o2 = np.asarray(f2(x))
+    assert o1.shape == o2.shape and not np.allclose(o1, o2)
+    jitted = exp._forward_jit_cache["off_pipe"]
+    assert jitted._cache_size() == 1  # one executable for both weight sets
