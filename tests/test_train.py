@@ -82,6 +82,7 @@ def test_trainer_smoke(fake_argoverse, tmp_path):
     """One epoch end-to-end: data loader -> sharded train step -> EMA eval ->
     checkpoints, on the virtual 8-device CPU mesh."""
     exp = get_exp(os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"))
+    exp.depth, exp.width = 0.33, 0.25  # shrink for the 1-core CPU CI
     exp.data_dir = fake_argoverse
     exp.input_size = FAKE_IMG_SIZE
     exp.test_size = FAKE_IMG_SIZE
