@@ -247,3 +247,48 @@ def test_forward_fn_reuses_compiled_executable():
     assert o1.shape == o2.shape and not np.allclose(o1, o2)
     jitted = exp._forward_jit_cache["off_pipe"]
     assert jitted._cache_size() == 1  # one executable for both weight sets
+
+
+def test_torch_pth_checkpoint_roundtrip(tmp_path):
+    """A torch-saved trainer-style ckpt ({'model': state_dict}) loads through
+    utils.checkpoint straight into flax variables (OIHW->HWIO, BN split)."""
+    import torch
+
+    from streamyolo_tpu.utils.checkpoint import load_checkpoint
+    from streamyolo_tpu.utils.torch_import import merge_variables
+
+    sd = {
+        "backbone.jian2.conv.weight": torch.arange(32 * 64 * 1 * 1, dtype=torch.float32).reshape(32, 64, 1, 1),
+        "backbone.jian2.bn.weight": torch.ones(32),
+        "backbone.jian2.bn.bias": torch.zeros(32),
+        "backbone.jian2.bn.running_mean": torch.zeros(32),
+        "backbone.jian2.bn.running_var": torch.ones(32),
+        "backbone.jian2.bn.num_batches_tracked": torch.tensor(7),
+        "head.cls_preds.0.weight": torch.randn(8, 64, 1, 1),
+        "head.cls_preds.0.bias": torch.randn(8),
+    }
+    path = tmp_path / "w.pth"
+    torch.save({"model": sd, "start_epoch": 5}, str(path))
+
+    ckpt = load_checkpoint(str(path))
+    v = ckpt["model"]
+    assert v["params"]["backbone"]["jian2"]["conv"]["kernel"].shape == (1, 1, 64, 32)
+    assert v["batch_stats"]["backbone"]["jian2"]["bn"]["var"].shape == (32,)
+    assert v["params"]["head"]["cls_preds_0"]["kernel"].shape == (1, 1, 64, 8)
+    # OIHW -> HWIO content check: torch [o, i, 0, 0] == flax [0, 0, i, o]
+    np.testing.assert_allclose(
+        v["params"]["backbone"]["jian2"]["conv"]["kernel"][0, 0, 5, 3],
+        np.asarray(sd["backbone.jian2.conv.weight"][3, 5, 0, 0]),
+    )
+    # shape-tolerant merge keeps unmatched target leaves
+    target = {
+        "params": {"backbone": {"jian2": {"conv": {"kernel": np.zeros((1, 1, 64, 32), np.float32)},
+                                           "bn": {"scale": np.zeros(32, np.float32),
+                                                  "bias": np.zeros(32, np.float32)}}},
+                   "extra": {"kernel": np.full((3, 3, 4, 4), 7.0, np.float32)}},
+        "batch_stats": {"backbone": {"jian2": {"bn": {"mean": np.zeros(32, np.float32),
+                                                      "var": np.zeros(32, np.float32)}}}},
+    }
+    merged = merge_variables(target, v, strict=False)
+    assert merged["params"]["backbone"]["jian2"]["bn"]["scale"].sum() == 32  # loaded ones
+    assert merged["params"]["extra"]["kernel"][0, 0, 0, 0] == 7.0  # kept init
