@@ -284,8 +284,6 @@ extern "C" void cocoeval_run(
             sc_v.push_back(rec.score);
           }
           const int64_t nd = rc_v.size();
-          const int64_t base_out =
-              ((t * R) * K + 0) * A * M;  // recomputed per r below
           last_rc = nd ? rc_v.back() : 0;
           recall[((t * K + k) * A + a) * M + m] = last_rc;
           // monotone envelope
@@ -306,7 +304,6 @@ extern "C" void cocoeval_run(
               out_scores[out] = 0.0;
             }
           }
-          (void)base_out;
         }
       }
     }

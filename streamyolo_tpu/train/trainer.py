@@ -297,10 +297,9 @@ class Trainer:
         if self.tb_writer is not None:
             self.tb_writer.add_scalar("val/COCOAP50", ap50, self.epoch + 1)
             self.tb_writer.add_scalar("val/COCOAP50_95", ap, self.epoch + 1)
-        if ap > self.best_ap:
-            self.save_ckpt("best_ckpt", ap > self.best_ap)
+        update_best_ckpt = ap > self.best_ap
         self.best_ap = max(self.best_ap, ap)
-        self.save_ckpt("last_epoch")
+        self.save_ckpt("last_epoch", update_best_ckpt)
         if self.exp.save_history_ckpt:
             self.save_ckpt(f"epoch_{self.epoch + 1}")
 
