@@ -35,6 +35,12 @@ def make_parser():
                         help="mixed precision (bf16 on TPU)")
     parser.add_argument("--cache", dest="cache", default=False, action="store_true",
                         help="cache resized images in RAM")
+    parser.add_argument("-o", "--occupy", dest="occupy", default=False, action="store_true",
+                        help="accepted for drop-in script compatibility; GPU memory "
+                             "pre-occupancy has no TPU analogue (ignored)")
+    parser.add_argument("--dist-backend", default="xla", type=str,
+                        help="accepted for compatibility; collectives always run "
+                             "through XLA over ICI/DCN (ignored)")
     parser.add_argument("--num_machines", default=1, type=int, help="number of hosts")
     parser.add_argument("--machine_rank", default=0, type=int, help="host rank (process index)")
     parser.add_argument("--dist-url", default=None, type=str,
