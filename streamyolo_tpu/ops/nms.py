@@ -106,6 +106,7 @@ def _postprocess_single(
     nms_thre: float,
     pre_nms_topk: int,
     class_agnostic: bool,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Single-image postprocess: pred [N, 5+C] (cx,cy,w,h,obj,cls...) ->
     fixed [K, 8] rows (x1,y1,x2,y2,obj,cls_conf,cls,valid)."""
@@ -130,7 +131,12 @@ def _postprocess_single(
     if not class_agnostic:
         offsets = cls_pred[top_idx][:, None] * _CLASS_OFFSET
         nms_boxes = boxes_k + offsets
-    keep = nms_padded(nms_boxes, valid_k, nms_thre)
+    if use_pallas:
+        from streamyolo_tpu.ops.nms_pallas import nms_padded_pallas
+
+        keep = nms_padded_pallas(nms_boxes, valid_k, nms_thre)
+    else:
+        keep = nms_padded(nms_boxes, valid_k, nms_thre)
 
     out = jnp.concatenate(
         [
@@ -147,7 +153,10 @@ def _postprocess_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "conf_thre", "nms_thre", "pre_nms_topk", "class_agnostic"),
+    static_argnames=(
+        "num_classes", "conf_thre", "nms_thre", "pre_nms_topk",
+        "class_agnostic", "use_pallas",
+    ),
 )
 def postprocess_fixed(
     prediction: jax.Array,
@@ -156,9 +165,24 @@ def postprocess_fixed(
     nms_thre: float = 0.45,
     pre_nms_topk: int = 1000,
     class_agnostic: bool = False,
+    use_pallas: bool = None,
 ) -> jax.Array:
     """Batched jittable postprocess: [B, N, 5+C] -> [B, K, 8] fixed-shape
-    detections, rows (x1, y1, x2, y2, obj, cls_conf, cls, valid)."""
+    detections, rows (x1, y1, x2, y2, obj, cls_conf, cls, valid).
+
+    ``use_pallas=None`` auto-selects the VMEM-resident Pallas NMS kernel on
+    directly-attached TPU backends (K <= 1024); the jnp fixed-point otherwise.
+    Both are exact greedy NMS (cross-verified in tests). The axon dev relay's
+    remote-compile helper cannot build Mosaic kernels (HTTP 500), so the
+    kernel is not auto-selected there."""
+    if use_pallas is None:
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and "axon" not in os.environ.get("JAX_PLATFORMS", "")
+            and min(pre_nms_topk, prediction.shape[1]) <= 1024
+        )
     fn = functools.partial(
         _postprocess_single,
         num_classes=num_classes,
@@ -166,6 +190,7 @@ def postprocess_fixed(
         nms_thre=nms_thre,
         pre_nms_topk=pre_nms_topk,
         class_agnostic=class_agnostic,
+        use_pallas=use_pallas,
     )
     return jax.vmap(fn)(prediction.astype(jnp.float32))
 

@@ -142,3 +142,26 @@ def test_fixed_point_nms_chain():
     )
     keep = np.asarray(nms_padded(boxes, jnp.ones(3, bool), 0.2))
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_pallas_nms_matches_twins(rng):
+    """Pallas VMEM kernel (interpret mode) vs the jnp fixed-point and the
+    sequential greedy oracle, on crowded random boxes."""
+    from streamyolo_tpu.ops.nms_pallas import nms_padded_pallas
+    from streamyolo_tpu.ops.nms import nms_padded_sequential
+
+    for n, size in [(64, 100.0), (128, 70.0)]:
+        boxes = random_boxes(rng, n, size=size)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        sb = jnp.asarray(boxes[order])
+        valid = jnp.ones(n, bool)
+        got = np.asarray(nms_padded_pallas(sb, valid, 0.5, interpret=True))
+        np.testing.assert_array_equal(got, np.asarray(nms_padded(sb, valid, 0.5)))
+        np.testing.assert_array_equal(
+            got, np.asarray(nms_padded_sequential(sb, valid, 0.5))
+        )
+    # padding respected
+    valid = np.zeros(64, bool); valid[:5] = True
+    keep = np.asarray(nms_padded_pallas(jnp.asarray(boxes[:64]), jnp.asarray(valid), 0.5, interpret=True))
+    assert not keep[5:].any()
