@@ -58,3 +58,39 @@ def test_stream_det_parser():
     finally:
         sys.argv = sys_argv
     assert args.dynamic_schedule and args.fps == 30 and args.in_scale == 0.5
+
+
+def test_train_cli_end_to_end(fake_argoverse, tmp_path, monkeypatch):
+    """tools/train.py main() end-to-end on the synthetic dataset: config
+    load, opts merge, trainer construction, one epoch, checkpoints."""
+    import importlib
+
+    from tests.conftest import FAKE_IMG_SIZE
+
+    train = importlib.import_module("train")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train.py",
+         "-f", os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"),
+         "-b", "8",
+         "--seed", "1",
+         # Exp attribute overrides through the opts remainder:
+         "data_dir", fake_argoverse,
+         "input_size", repr(tuple(FAKE_IMG_SIZE)),
+         "test_size", repr(tuple(FAKE_IMG_SIZE)),
+         "random_size", "None",
+         "data_num_workers", "0",
+         "max_epoch", "1",
+         "no_aug_epochs", "1",
+         "eval_interval", "1",
+         "save_history_ckpt", "False",
+         "width", "0.25",
+         "print_interval", "1",
+         "output_dir", str(tmp_path)],
+    )
+    train.main()
+    out = os.path.join(str(tmp_path), "s_s50_onex_dfp_tal_flip")
+    assert os.path.exists(os.path.join(out, "latest_ckpt.pkl"))
+    assert os.path.exists(os.path.join(out, "train_log.txt"))
+    log = open(os.path.join(out, "train_log.txt")).read()
+    assert "Training done" in log
