@@ -144,6 +144,24 @@ class _StreamEvaluatorBase:
             data_list.extend(self.convert_to_coco_format(outputs, info_imgs, ids))
 
         statistics = np.array([inference_time, nms_time, n_samples])
+        if distributed:
+            # multi-host: gather detection lists from every process and sum
+            # the timing meters; only the main process evaluates (the
+            # reference's `gather`/`reduce` to rank 0,
+            # `onex_stream_evaluator.py:158-161` — SPMD all-gather here).
+            from streamyolo_tpu.parallel import (
+                all_gather_objects,
+                is_main_process,
+                psum_stats,
+            )
+
+            gathered = all_gather_objects(data_list)
+            data_list = list(itertools.chain(*gathered))
+            statistics = psum_stats(statistics)
+            if not is_main_process():
+                return (0.0, 0.0, None) if not return_outputs else (
+                    (0.0, 0.0, None), data_list
+                )
         eval_results = self.evaluate_prediction(data_list, statistics)
         if return_outputs:
             return eval_results, data_list

@@ -104,3 +104,16 @@ def test_onex_current_frame_oracle_scores_lower(fake_argoverse):
     ap_fut, _, _ = evaluator2.evaluate(_oracle_forward(ds, shift=1))
     # lagging boxes overlap the drifted gt at IoU 8/12 < 1 -> strictly lower
     assert ap_fut > ap_cur
+
+
+def test_distributed_eval_single_process(fake_argoverse):
+    """distributed=True on one process: the all-gather degenerates and the
+    result matches the plain path."""
+    loader = _make_loader(fake_argoverse)
+    ds = loader.dataset.dataset
+    evaluator = ONEX_COCOEvaluator(
+        loader, img_size=FAKE_IMG_SIZE, confthre=0.3, nmsthre=0.5,
+        num_classes=NUM_CLASSES,
+    )
+    ap, ap50, _ = evaluator.evaluate(_oracle_forward(ds, shift=1), distributed=True)
+    assert ap50 == pytest.approx(43 / 101, abs=1e-6)
