@@ -179,12 +179,23 @@ class StreamExp(BaseExp):
         )
         self.dataset = dataset
 
-        # SPMD: one process feeds all local devices; the global batch is
-        # sharded on axis 0 by `parallel.shard_batch` (no per-rank division).
-        sampler = InfiniteSampler(len(dataset), seed=self.seed if self.seed else 0)
+        # SPMD: each process loads ITS slice of the global batch (rank-aware
+        # infinite sampler) and `parallel.shard_batch` assembles the global
+        # array across hosts; single-host keeps the whole batch local. The
+        # reference divides the batch by world size the same way
+        # (`cfgs/s_s50_onex_dfp_tal_flip.py:93-94`).
+        import jax
+
+        world = jax.process_count()
+        rank = jax.process_index()
+        assert batch_size % max(world, 1) == 0, (batch_size, world)
+        sampler = InfiniteSampler(
+            len(dataset), seed=self.seed if self.seed else 0,
+            rank=rank, world_size=world,
+        )
         batch_sampler = YoloBatchSampler(
             sampler=sampler,
-            batch_size=batch_size,
+            batch_size=batch_size // max(world, 1),
             drop_last=False,
             mosaic=not no_aug,
         )

@@ -48,8 +48,16 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     (`exps/train_utils/double_data_prefetcher.py:23-47`): ``jax.device_put``
     with a sharding is itself asynchronous, so the host thread returns
     immediately and the transfer overlaps the previous step's compute.
+
+    Multi-host: each process passes its LOCAL shard (its slice of the global
+    batch, from the rank-aware sampler) and the leaves are assembled into
+    global arrays spanning the whole mesh.
     """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
