@@ -9,6 +9,7 @@ from streamyolo_tpu.data.loader import (
     DataLoader,
     DevicePrefetcher,
     InfiniteSampler,
+    ShardDataset,
     YoloBatchSampler,
     worker_init_reset_seed,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "DataLoader",
     "DevicePrefetcher",
     "InfiniteSampler",
+    "ShardDataset",
     "YoloBatchSampler",
     "worker_init_reset_seed",
     "MosaicDetection",

@@ -169,3 +169,26 @@ class DevicePrefetcher:
         batch = self._next
         self._preload()
         return batch
+
+
+class ShardDataset(torch.utils.data.Dataset):
+    """Strided shard of a dataset for multi-host eval (the role of
+    ``DistributedSampler(shuffle=False)`` at `/root/reference/cfgs/
+    s_s50_onex_dfp_tal_flip.py:126-128`): process r sees indices
+    r, r+world, r+2*world, ... Attribute access forwards to the base dataset
+    (the evaluators read ``coco`` / ``class_ids`` through it)."""
+
+    def __init__(self, dataset, rank: int, world_size: int):
+        self.dataset = dataset
+        self._rank = rank
+        self._world = world_size
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n - self._rank + self._world - 1) // self._world
+
+    def __getitem__(self, idx):
+        return self.dataset[self._rank + idx * self._world]
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)

@@ -223,6 +223,14 @@ class StreamExp(BaseExp):
             img_size=self.test_size,
             preproc=DoubleValTransform() if double else ValTransform(),
         )
+        import jax
+
+        if jax.process_count() > 1:
+            from streamyolo_tpu.data import ShardDataset
+
+            valdataset = ShardDataset(
+                valdataset, jax.process_index(), jax.process_count()
+            )
         return DataLoader(
             valdataset,
             num_workers=self.data_num_workers,

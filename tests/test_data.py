@@ -152,3 +152,17 @@ def test_loader_roundtrip(fake_argoverse):
     assert labels.shape == (2, 50, 5)
     assert support_labels.shape == (2, 50, 5)
     assert images.dtype == np.float32
+
+
+def test_shard_dataset(fake_argoverse):
+    from streamyolo_tpu.data import ShardDataset
+
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "val.json", name="val", img_size=IMG_SIZE,
+        preproc=DoubleValTransform(),
+    )
+    shards = [ShardDataset(ds, r, 3) for r in range(3)]
+    assert sum(len(s) for s in shards) == len(ds)
+    seen = sorted(int(s[i][3][0]) for s in shards for i in range(len(s)))
+    assert seen == list(range(len(ds)))  # partition covers every image id once
+    assert shards[0].coco is ds.coco  # attribute forwarding
