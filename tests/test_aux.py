@@ -175,3 +175,33 @@ def test_bbox_conversions():
     arr = ltwh.copy()
     ltwh2ltrb_(arr)
     np.testing.assert_allclose(arr, ltrb)
+
+
+def test_vis_results_cli(fake_argoverse, tmp_path, monkeypatch):
+    import pickle
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import importlib
+
+    vis_mod = importlib.import_module("vis_results")
+
+    # one detection on image 1
+    ccf = [dict(image_id=1, category_id=2, bbox=[10.0, 20.0, 10.0, 8.0], score=0.9)]
+    res_path = tmp_path / "results_ccf.pkl"
+    with open(res_path, "wb") as f:
+        pickle.dump(ccf, f)
+    out_dir = tmp_path / "vis"
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["vis_results.py",
+         "--data-root", os.path.join(fake_argoverse, "Argoverse-1.1", "tracking"),
+         "--annot-path", os.path.join(fake_argoverse, "Argoverse-HD/annotations/val.json"),
+         "--results", str(res_path), "--out-dir", str(out_dir),
+         "--video", "--html"],
+    )
+    vis_mod.main()
+    assert os.path.isfile(out_dir / "seq0" / "f1.jpg")
+    assert os.path.isfile(out_dir / "seq0.mp4")
+    assert os.path.isfile(out_dir / "index.html")

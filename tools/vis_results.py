@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Render detection results over the source frames: per-frame overlays,
+optional videos and an HTML gallery.
+
+Capability parity with the `/root/reference/sAP/vis/` scripts
+(`vis_det_th.py` thresholded overlays, `make_videos.py`, `html_all_seq.py`)
+driven from either a CCF results pkl (``results_ccf.pkl``) or a streaming run
+directory of per-sequence pkls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser("StreamYOLO-TPU result visualization")
+    parser.add_argument("--data-root", type=str, required=True)
+    parser.add_argument("--annot-path", type=str, required=True)
+    parser.add_argument("--results", type=str, required=True,
+                        help="results_ccf.pkl (CCF list) path")
+    parser.add_argument("--out-dir", type=str, required=True)
+    parser.add_argument("--score-th", type=float, default=0.3)
+    parser.add_argument("--vis-scale", type=float, default=1.0)
+    parser.add_argument("--video", action="store_true", default=False,
+                        help="also encode one mp4 per sequence")
+    parser.add_argument("--html", action="store_true", default=False,
+                        help="also write an HTML gallery")
+    parser.add_argument("--fps", type=float, default=30)
+    args = parser.parse_args()
+
+    import cv2
+
+    from streamyolo_tpu.data.coco import COCO
+    from streamyolo_tpu.vis import html_all_sequences, make_video, vis_det
+
+    db = COCO(args.annot_path)
+    class_names = [c["name"] for c in db.dataset["categories"]]
+    seq_dirs = db.dataset["seq_dirs"]
+
+    with open(args.results, "rb") as f:
+        results_ccf = pickle.load(f)
+    by_img = defaultdict(list)
+    for det in results_ccf:
+        by_img[det["image_id"]].append(det)
+
+    seq_frames = defaultdict(list)
+    for img in db.dataset["images"]:
+        path = os.path.join(args.data_root, seq_dirs[img["sid"]], img["name"])
+        frame = cv2.imread(path)
+        assert frame is not None, path
+        dets = by_img.get(img["id"], [])
+        bboxes = [[d["bbox"][0], d["bbox"][1],
+                   d["bbox"][0] + d["bbox"][2], d["bbox"][1] + d["bbox"][3]]
+                  for d in dets]
+        labels = [d["category_id"] for d in dets]
+        scores = [d["score"] for d in dets]
+        seq_name = db.dataset["sequences"][img["sid"]]
+        out_file = os.path.join(args.out_dir, seq_name, img["name"])
+        vis_det(frame, bboxes, labels, class_names, scores=scores,
+                score_th=args.score_th, out_scale=args.vis_scale,
+                out_file=out_file)
+        seq_frames[seq_name].append(out_file)
+
+    if args.video:
+        for seq, frames in seq_frames.items():
+            out = make_video(frames, os.path.join(args.out_dir, seq + ".mp4"),
+                             fps=args.fps)
+            print(f"wrote {out}")
+    if args.html:
+        out = html_all_sequences(args.out_dir, os.path.join(args.out_dir, "index.html"))
+        print(f"wrote {out}")
+    print(f"rendered {sum(len(v) for v in seq_frames.values())} frames to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
