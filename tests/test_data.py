@@ -166,3 +166,14 @@ def test_shard_dataset(fake_argoverse):
     seen = sorted(int(s[i][3][0]) for s in shards for i in range(len(s)))
     assert seen == list(range(len(ds)))  # partition covers every image id once
     assert shards[0].coco is ds.coco  # attribute forwarding
+
+
+def test_augment_hsv_inplace():
+    from streamyolo_tpu.data import augment_hsv
+
+    img = np.random.RandomState(0).randint(0, 255, (40, 60, 3), np.uint8)
+    before = img.copy()
+    np.random.seed(3)
+    augment_hsv(img)
+    assert img.shape == before.shape and img.dtype == np.uint8
+    assert (img != before).any()  # actually jittered, in place

@@ -219,3 +219,48 @@ def test_run_streaming_detection_and_eval_files(fake_argoverse, tmp_path):
     # detector consumed frames in order 0,1,2 per sequence under the 1-period
     # runtime -> same protocol as test_stream_protocol_one_period_runtime
     assert summary["stats"][1] == pytest.approx(72 / 101, abs=1e-9)
+
+
+def test_det_stride_skips_frames(fake_argoverse):
+    """det_stride=2: only every other grabbed frame is processed."""
+    db = _db(fake_argoverse)
+    n = 4  # seq0
+    det = SimulatedDetector(_gt_oracle(db, 0), None)
+    out = stream_sequence(
+        list(range(n)), det, fps=FPS, clock=SimClock(),
+        runtime_dist=Empirical([0.2 / FPS], seed=0),
+        det_stride=2, frame_arg_is_index=True,
+    )
+    fidx = out["input_fidx"]
+    assert len(fidx) >= 2
+    assert all(b - a >= 2 for a, b in zip(fidx, fidx[1:]))
+
+
+def test_dynamic_schedule_never_starts_late(fake_argoverse):
+    """dynamic-schedule: a detection never starts more than half a frame
+    period after its input frame arrived (`streamyolo_det.py:165-174`)."""
+    db = _db(fake_argoverse)
+    n = 30
+    det = SimulatedDetector(lambda f: ([[0, 0, 10, 10]], [2]), None)
+    out = stream_sequence(
+        list(range(n)), det, fps=FPS, clock=SimClock(),
+        runtime_dist=Empirical([1.6 / FPS], seed=0),
+        dynamic_schedule=True, frame_arg_is_index=True,
+    )
+    assert len(out["input_fidx"]) >= 5
+    for ts, rt, fidx in zip(out["timestamps"], out["runtime"], out["input_fidx"]):
+        start_lateness = (ts - rt) * FPS - fidx
+        assert start_lateness <= 0.5 + 1e-6
+
+    # without dynamic scheduling the same loop DOES start late sometimes
+    det2 = SimulatedDetector(lambda f: ([[0, 0, 10, 10]], [2]), None)
+    out2 = stream_sequence(
+        list(range(n)), det2, fps=FPS, clock=SimClock(),
+        runtime_dist=Empirical([1.6 / FPS], seed=0),
+        dynamic_schedule=False, frame_arg_is_index=True,
+    )
+    lateness = [
+        (ts - rt) * FPS - fidx
+        for ts, rt, fidx in zip(out2["timestamps"], out2["runtime"], out2["input_fidx"])
+    ]
+    assert max(lateness) > 0.5
