@@ -156,3 +156,40 @@ def test_posthoc_forecast_improves_lagged_run(fake_argoverse):
     assert fc["stats"][2] >= raw["stats"][2]
     assert assoc["miss"] == 2  # first frame of each sequence, same as raw
     assert len(fc_ccf) == 5  # one forecast box per forecastable frame
+
+
+def _toy_detector_builder():
+    """Top-level so mp.spawn can pickle it: detects one fixed box."""
+
+    def detect(frame):
+        x = float(frame[0][0])  # frame encodes the box position
+        return ([[x, 20.0, x + 10.0, 28.0]], [0.9], [2])
+
+    return detect
+
+
+def test_streamer_process_roundtrip():
+    """Detector-in-child-process: submit/poll/forecast across the pipe, and
+    the child's tracebacks surface instead of silent death."""
+    from streamyolo_tpu.stream import Streamer
+
+    s = Streamer(_toy_detector_builder, match_iou_th=0.3)
+    try:
+        # two observations of a box moving +30 px/s
+        for k in range(2):
+            t = k * 0.1
+            frame = [[10.0 + 30 * t]]
+            assert s.submit(k, frame, t_sent=t)
+            # busy submit is refused while in flight
+            assert not s.submit(k, frame, t_sent=t)
+            got = None
+            for _ in range(100):
+                got = s.poll(timeout=0.1)
+                if got is not None:
+                    break
+            assert got == k
+        bboxes, scores, labels, tracks = s.forecast(0.2, 1920, 1200)
+        assert len(bboxes) == 1 and labels[0] == 2
+        assert bboxes[0][0] > 10.0  # moved forward
+    finally:
+        s.close()
