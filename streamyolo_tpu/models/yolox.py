@@ -22,8 +22,8 @@ from typing import Optional
 import jax
 from flax import linen as nn
 
-from streamyolo_tpu.models.dfp_pafpn import Buffer, DFPPAFPN
-from streamyolo_tpu.models.heads import YOLOXHead, eval_outputs
+from streamyolo_tpu.models.dfp_pafpn import Buffer
+from streamyolo_tpu.models.heads import eval_outputs
 
 
 class StreamYOLO(nn.Module):

@@ -24,14 +24,8 @@ from streamyolo_tpu.eval.cocoeval import COCOeval_opt
 from streamyolo_tpu.utils.logger import get_logger
 
 
-def ltrb2ltwh(bboxes: np.ndarray) -> np.ndarray:
-    """[n,4] x1y1x2y2 -> ltwh (copying; `sAP/util/bbox.py` capability)."""
-    out = np.asarray(bboxes, dtype=np.float64).copy()
-    if out.ndim == 1:
-        out = out[None]
-    out[:, 2] -= out[:, 0]
-    out[:, 3] -= out[:, 1]
-    return out
+# re-exported here because the pairing pass is its main consumer
+from streamyolo_tpu.stream.bbox import ltrb2ltwh  # noqa: E402
 
 
 def pair_streaming_results(
