@@ -105,6 +105,10 @@ class _IndexUnpackDataset(torch.utils.data.Dataset):
         return _mosaic_flag_getitem(self.dataset, item)
 
     def __getattr__(self, name):
+        # guard: during unpickling (worker processes) __getattr__ runs before
+        # __init__ populates the instance dict — avoid infinite recursion
+        if name == "dataset":
+            raise AttributeError(name)
         return getattr(self.dataset, name)
 
 
@@ -191,4 +195,6 @@ class ShardDataset(torch.utils.data.Dataset):
         return self.dataset[self._rank + idx * self._world]
 
     def __getattr__(self, name):
+        if name == "dataset":  # see _IndexUnpackDataset.__getattr__
+            raise AttributeError(name)
         return getattr(self.dataset, name)

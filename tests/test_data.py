@@ -177,3 +177,34 @@ def test_augment_hsv_inplace():
     augment_hsv(img)
     assert img.shape == before.shape and img.dtype == np.uint8
     assert (img != before).any()  # actually jittered, in place
+
+
+def test_wrapper_datasets_pickle_roundtrip(fake_argoverse):
+    """Dataset wrappers must survive pickling (worker processes); a naive
+    __getattr__ recursed infinitely during unpickling."""
+    import pickle
+
+    from streamyolo_tpu.data import ShardDataset
+    from streamyolo_tpu.data.loader import _IndexUnpackDataset
+
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "val.json", name="val", img_size=IMG_SIZE,
+        preproc=DoubleValTransform(),
+    )
+    for wrapped in (_IndexUnpackDataset(ds), ShardDataset(ds, 0, 2)):
+        again = pickle.loads(pickle.dumps(wrapped))
+        assert len(again) == len(wrapped)
+        assert again.class_ids == ds.class_ids  # attr forwarding survives
+
+
+def test_eval_loader_with_worker_processes(fake_argoverse):
+    """End-to-end: eval loader with real worker processes (num_workers=2)."""
+    ds = ONE_ARGOVERSEDataset(
+        fake_argoverse, "val.json", name="val", img_size=IMG_SIZE,
+        preproc=DoubleValTransform(),
+    )
+    from streamyolo_tpu.data import DataLoader
+
+    loader = DataLoader(ds, batch_size=2, num_workers=2, shuffle=False)
+    batches = list(loader)
+    assert sum(b[0].shape[0] for b in batches) == len(ds)
