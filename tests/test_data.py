@@ -208,3 +208,33 @@ def test_eval_loader_with_worker_processes(fake_argoverse):
     loader = DataLoader(ds, batch_size=2, num_workers=2, shuffle=False)
     batches = list(loader)
     assert sum(b[0].shape[0] for b in batches) == len(ds)
+
+
+def test_train_loader_with_worker_processes(fake_argoverse):
+    """Train path with real worker processes: mosaic wrapper + (flag, idx)
+    batch-sampler items + double targets collate across the pickle boundary."""
+    from streamyolo_tpu.data import (
+        DataLoader,
+        InfiniteSampler,
+        MosaicDetection,
+        YoloBatchSampler,
+        worker_init_reset_seed,
+    )
+
+    ds = ONE_ARGOVERSEDataset(fake_argoverse, "train.json", img_size=IMG_SIZE)
+    wrapped = MosaicDetection(
+        ds, img_size=IMG_SIZE, mosaic=False,
+        preproc=DoubleTrainTransform(max_labels=50, hsv=False, flip=True),
+    )
+    loader = DataLoader(
+        wrapped,
+        batch_sampler=YoloBatchSampler(
+            InfiniteSampler(len(ds), seed=0), batch_size=2, drop_last=False,
+            mosaic=False,
+        ),
+        num_workers=2,
+        worker_init_fn=worker_init_reset_seed,
+    )
+    images, (labels, support_labels), _, _ = next(iter(loader))
+    assert images.shape == (2, IMG_SIZE[0], IMG_SIZE[1], 6)
+    assert labels.shape == (2, 50, 5) and support_labels.shape == (2, 50, 5)
