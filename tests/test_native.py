@@ -104,3 +104,26 @@ def test_bbox_iou_cpp_matches_numpy():
         bbox_iou_xywh(dt, gt, crowd),
         atol=1e-12,
     )
+
+
+def test_cocoeval_cpp_maxdets_cap():
+    """More than 100 dts in one image: both implementations must apply the
+    maxDets cap identically (matching + accumulate slicing)."""
+    rng = np.random.default_rng(11)
+    images = [dict(id=0, width=1000, height=1000)]
+    anns = [dict(id=i + 1, image_id=0, category_id=1,
+                 bbox=[float(50 * (i % 10)), float(50 * (i // 10)), 40.0, 40.0],
+                 area=1600.0, iscrowd=0) for i in range(30)]
+    gt = COCO(dict(images=images, annotations=anns,
+                   categories=[dict(id=1, name="a")]))
+    res = []
+    for i in range(150):  # 150 dts > maxDets=100
+        res.append(dict(image_id=0, category_id=1,
+                        bbox=[float(rng.uniform(0, 500)), float(rng.uniform(0, 500)),
+                              40.0, 40.0],
+                        score=float(rng.random())))
+    dt = gt.loadRes(res)
+    e_py = COCOeval(gt, dt, "bbox"); e_py.evaluate(); e_py.accumulate(); e_py.summarize()
+    e_cpp = COCOeval_opt(gt, dt, "bbox"); e_cpp.evaluate(); e_cpp.accumulate(); e_cpp.summarize()
+    np.testing.assert_allclose(e_cpp.stats, e_py.stats, atol=1e-12)
+    np.testing.assert_allclose(e_cpp.eval["precision"], e_py.eval["precision"], atol=1e-12)

@@ -165,3 +165,20 @@ def test_pallas_nms_matches_twins(rng):
     valid = np.zeros(64, bool); valid[:5] = True
     keep = np.asarray(nms_padded_pallas(jnp.asarray(boxes[:64]), jnp.asarray(valid), 0.5, interpret=True))
     assert not keep[5:].any()
+
+
+def test_nms_exact_score_ties(rng):
+    """Exact duplicate scores: tie order is positional (stable sort); the
+    fixed-point and sequential results must agree."""
+    from streamyolo_tpu.ops.nms import nms_padded_sequential
+
+    n = 48
+    boxes = random_boxes(rng, n, size=90.0)
+    scores = np.repeat(rng.uniform(0.2, 1.0, n // 4), 4).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    sb = jnp.asarray(boxes[order])
+    valid = jnp.ones(n, bool)
+    np.testing.assert_array_equal(
+        np.asarray(nms_padded(sb, valid, 0.5)),
+        np.asarray(nms_padded_sequential(sb, valid, 0.5)),
+    )
