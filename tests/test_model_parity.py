@@ -89,3 +89,32 @@ def test_resize_bilinear_matches_torch(rng):
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4, rtol=1e-4
         )
+
+
+def test_bf16_eval_close_to_fp32(rng):
+    """bf16 conv trunk (serving precision) stays within bf16-roundoff of the
+    fp32 reference on the decoded outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.models.dfp_pafpn import DFPPAFPN
+    from streamyolo_tpu.models.heads import TALHead
+    from streamyolo_tpu.models.yolox import StreamYOLO
+
+    def build(dtype):
+        return StreamYOLO(
+            backbone=DFPPAFPN(0.33, 0.25, dtype=dtype),
+            head=TALHead(num_classes=8, width=0.25, dtype=dtype),
+        )
+
+    x = (rng.random((1, 64, 96, 6)) * 255).astype(np.float32)
+    m32 = build(jnp.float32)
+    variables = m32.init(jax.random.PRNGKey(0), x, mode="off_pipe", train=False)
+    out32 = np.asarray(m32.apply(variables, x, mode="off_pipe", train=False))
+    m16 = build(jnp.bfloat16)
+    out16 = np.asarray(m16.apply(variables, x, mode="off_pipe", train=False))
+    # boxes are in pixel units (up to ~96); obj/cls are probabilities
+    box_err = np.abs(out16[..., :4].astype(np.float32) - out32[..., :4]).max()
+    prob_err = np.abs(out16[..., 4:].astype(np.float32) - out32[..., 4:]).max()
+    assert box_err < 2.0, box_err       # < 2px at init-scale activations
+    assert prob_err < 0.05, prob_err    # probabilities within 5e-2
