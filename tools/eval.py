@@ -61,6 +61,10 @@ def main():
         exp.test_size = tuple(args.tsize)
     if args.fp16:
         exp.compute_dtype = "bfloat16"
+    if args.test:
+        # evaluate the test split (the reference's --test/testdev pathway,
+        # `tools/eval.py:91-98` there)
+        exp.val_ann = "test.json"
 
     file_name = os.path.join(exp.output_dir, args.experiment_name)
     os.makedirs(file_name, exist_ok=True)
