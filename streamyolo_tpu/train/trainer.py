@@ -286,11 +286,19 @@ class Trainer:
     def evaluate_and_save_model(self):
         import jax
 
-        # EMA weights are what get evaluated and saved (`double_trainer.py:322-355`).
-        eval_variables = {
-            "params": self.state.ema_params,
-            "batch_stats": self.state.ema_batch_stats,
-        }
+        # EMA weights are what get evaluated and saved when EMA is enabled
+        # (`double_trainer.py:322-355`; ``exp.ema`` gates it like the
+        # reference's use_model_ema).
+        if self.exp.ema:
+            eval_variables = {
+                "params": self.state.ema_params,
+                "batch_stats": self.state.ema_batch_stats,
+            }
+        else:
+            eval_variables = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
         forward_fn = self.exp.get_forward_fn(self.model, eval_variables)
         ap, ap50, summary = self.exp.eval(forward_fn, self.evaluator)
         self.logger.info(f"\n{summary}")
@@ -306,12 +314,19 @@ class Trainer:
     def save_ckpt(self, ckpt_name: str, update_best_ckpt: bool = False):
         from streamyolo_tpu.utils.checkpoint import save_checkpoint
 
-        state = {
-            "start_epoch": self.epoch + 1,
-            "model": {
+        if self.exp.ema:
+            model_vars = {
                 "params": self.state.ema_params,
                 "batch_stats": self.state.ema_batch_stats,
-            },
+            }
+        else:
+            model_vars = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+        state = {
+            "start_epoch": self.epoch + 1,
+            "model": model_vars,
             "train_state": self.state,
             "best_ap": self.best_ap,
         }
