@@ -90,7 +90,7 @@ class _StreamEvaluatorBase:
     def evaluate(
         self,
         forward_fn: Callable[[np.ndarray], np.ndarray],
-        distributed: bool = False,
+        distributed: bool = None,
         half: bool = False,
         return_outputs: bool = False,
     ):
@@ -99,8 +99,20 @@ class _StreamEvaluatorBase:
         Args:
           forward_fn: jitted fn, NHWC image batch (float32) -> decoded
             predictions [B, N, 5 + num_classes] (obj/cls already sigmoided).
+          distributed: gather per-process detections to every host before
+            COCOeval. ``None`` (default) auto-detects multi-process runs the
+            same way ``get_eval_loader`` auto-shards the dataset
+            (``jax.process_count() > 1``) — sharded data without the gather
+            would score each host's shard alone. Mirrors the reference's
+            unconditional gather-to-rank-0
+            (`onex_stream_evaluator.py:158-161`).
         """
         from streamyolo_tpu.ops.nms import postprocess_fixed
+
+        if distributed is None:
+            import jax
+
+            distributed = jax.process_count() > 1
 
         data_list: List[dict] = []
         inference_time = 0.0

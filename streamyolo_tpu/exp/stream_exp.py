@@ -317,7 +317,9 @@ class StreamExp(BaseExp):
             scaled.append(t)
         return inputs, tuple(scaled)
 
-    def eval(self, forward_fn, evaluator, is_distributed: bool = False, half: bool = False):
+    def eval(self, forward_fn, evaluator, is_distributed: bool = None, half: bool = False):
+        # is_distributed=None lets the evaluator auto-detect multi-process
+        # runs (matching get_eval_loader's auto-sharding).
         return evaluator.evaluate(forward_fn, is_distributed, half)
 
     # reference-surface alias (`yolox.exp.Exp.get_lr_scheduler` name)

@@ -1,0 +1,295 @@
+"""Supplementary benchmark suite backing the README performance table.
+
+``bench.py`` is the driver contract (one JSON line, streaming step); this
+script re-measures every other README row with the same methodology:
+R dependency-chained async dispatches per timed sample, ONE host sync per
+sample (the dev relay costs ~30 ms per sync, which contaminated the round-1
+ad-hoc numbers), min over samples as the headline (shared-relay contention
+inflates one-sidedly).
+
+Also reports XLA-counted FLOPs and the implied MFU against the TPU v5e
+bf16 peak (197 TFLOP/s) where the compiled program exposes cost analysis.
+
+Usage: python tools/bench_suite.py {stream_fp32,serve8,eval_fwd,train_s,all}
+       [--batch N] [--samples N]
+
+Reference recipes being matched: streaming loop
+`/root/reference/sAP/streamyolo/streamyolo_det.py:152-195` (V100, 30 FPS
+bar), train recipe 8xV100 batch 32 fp16 (`/root/reference/README.md:100-106`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
+
+V5E_BF16_PEAK = 197e12  # TFLOP/s, TPU v5e per-chip bf16 peak
+K = 10  # fori_loop steps per dispatch (streaming benches)
+R = 5  # async dispatches per timed sample
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _flops(jitted, *args):
+    """XLA-counted forward FLOPs of the compiled program (None if the
+    backend does not expose cost analysis)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _report(name, step_ms, per_what, extra=""):
+    print(f"[{name}] {step_ms:.2f} ms/{per_what} (min over samples){extra}")
+
+
+def _timed_samples(dispatch_once, sync, n_samples, steps_per_sample):
+    samples = []
+    for _ in range(n_samples):
+        t0 = time.perf_counter()
+        dispatch_once()
+        sync()
+        samples.append((time.perf_counter() - t0) / steps_per_sample)
+    print(
+        f"  samples (ms): min={np.min(samples)*1e3:.2f} "
+        f"median={np.median(samples)*1e3:.2f} max={np.max(samples)*1e3:.2f}",
+        file=sys.stderr,
+    )
+    return float(np.min(samples))
+
+
+def _build_model(depth, width, dtype):
+    from streamyolo_tpu.models.dfp_pafpn import DFPPAFPN
+    from streamyolo_tpu.models.heads import TALHead
+    from streamyolo_tpu.models.yolox import StreamYOLO
+
+    return StreamYOLO(
+        backbone=DFPPAFPN(depth=depth, width=width, dtype=dtype),
+        head=TALHead(num_classes=8, width=width, dtype=dtype),
+    )
+
+
+def _stream_chain(jax, jnp, model, variables, batch, cast_dtype):
+    """The bench.py streaming chain at configurable batch/dtype."""
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    @jax.jit
+    def chain(v, x, b):
+        def body(i, carry):
+            b, acc = carry
+            preds, nb = model.apply(
+                v, x.astype(cast_dtype), buffer=b, mode="on_pipe"
+            )
+            dets = postprocess_fixed(
+                preds, num_classes=8, conf_thre=0.3, nms_thre=0.5,
+                pre_nms_topk=100,
+            )
+            return nb, acc + dets[0, 0, 0]
+
+        b, acc = jax.lax.fori_loop(0, K, body, (b, jnp.float32(0)))
+        return b, acc
+
+    img = np.random.RandomState(0).randint(
+        0, 255, (batch, 600, 960, 3)).astype(np.uint8)
+    image = jax.device_put(img)
+
+    @jax.jit
+    def one(v, x, b):
+        _, nb = model.apply(v, x.astype(cast_dtype), buffer=b, mode="on_pipe")
+        return nb
+
+    buf = one(variables, image, None)
+    np.asarray(jax.tree_util.tree_leaves(buf)[0][(0,) * 4])
+    buf, acc = chain(variables, image, buf)  # compile + warm
+    float(acc)
+    return chain, image, buf
+
+
+def bench_stream(dtype_name: str, batch: int, n_samples: int):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    model = _build_model(depth=1.0, width=1.0, dtype=dtype)
+    variables = jax.device_put(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 3), np.float32),
+        mode="off_pipe", train=False,
+    ))
+    chain, image, buf = _stream_chain(jax, jnp, model, variables, batch, dtype)
+
+    state = {"buf": buf, "acc": None}
+
+    def dispatch():
+        for _ in range(R):
+            state["buf"], state["acc"] = chain(variables, image, state["buf"])
+
+    step_s = _timed_samples(
+        dispatch, lambda: float(state["acc"]), n_samples, R * K
+    )
+    fps = batch / step_s
+    name = f"stream_l_{dtype_name}_b{batch}"
+    _report(name, step_s * 1e3, "step",
+            f"; {fps:.0f} frames/s/chip ({fps/30:.1f}x the 30 FPS V100 bar)")
+    return {name: {"ms_per_step": round(step_s * 1e3, 3),
+                   "frames_per_sec": round(fps, 1)}}
+
+
+def bench_eval_fwd(batch: int, n_samples: int):
+    """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    model = _build_model(depth=1.0, width=1.0, dtype=jnp.bfloat16)
+    variables = jax.device_put(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
+        mode="off_pipe", train=False,
+    ))
+
+    @jax.jit
+    def step(v, x):
+        preds = model.apply(v, x, mode="off_pipe", train=False)
+        return postprocess_fixed(preds, num_classes=8, conf_thre=0.01,
+                                 nms_thre=0.65)
+
+    imgs = jax.device_put(np.random.RandomState(0).randint(
+        0, 255, (batch, 600, 960, 6)).astype(np.float32))
+    out = step(variables, imgs)  # compile + warm
+    np.asarray(out[0, 0, 0])
+    flops = _flops(step, variables, imgs)
+
+    state = {"out": None}
+
+    def dispatch():
+        for _ in range(R * K):  # no carried state; device serializes
+            state["out"] = step(variables, imgs)
+
+    step_s = _timed_samples(
+        dispatch, lambda: np.asarray(state["out"][0, 0, 0]), n_samples, R * K
+    )
+    rate = batch / step_s
+    extra = f"; {rate:.0f} imgs/s/chip"
+    if flops:
+        mfu = flops / step_s / V5E_BF16_PEAK
+        extra += f"; {flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.0f}%"
+    _report(f"eval_fwd_l_b{batch}", step_s * 1e3, "batch", extra)
+    return {f"eval_fwd_l_b{batch}": {
+        "ms_per_batch": round(step_s * 1e3, 2),
+        "imgs_per_sec": round(rate, 1),
+        "gflops": round(flops / 1e9, 1) if flops else None,
+    }}
+
+
+def bench_train(batch: int, n_samples: int, remat: bool = False):
+    """Full train step (fwd + SimOTA/TAL + bwd + SGD + EMA), StreamYOLO-s at
+    600x960, per-chip batch ``batch``."""
+    jax = _setup_jax()
+
+    from streamyolo_tpu.train import (
+        build_lr_schedule, create_train_state, jit_train_step, make_train_step,
+    )
+    from streamyolo_tpu.train.trainer import _donation_safe
+
+    import jax.numpy as jnp
+
+    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16)
+    h, w, max_labels = 600, 960, 50
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (batch, h, w, 6)).astype(np.float32)
+    labels = np.zeros((batch, max_labels, 5), np.float32)
+    labels[:, :8] = np.stack([
+        rs.randint(0, 8, (batch, 8)).astype(np.float32),
+        rs.uniform(100, 860, (batch, 8)).astype(np.float32),
+        rs.uniform(100, 500, (batch, 8)).astype(np.float32),
+        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
+        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
+    ], axis=-1)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), images[:1], mode="off_pipe", train=False)
+    lr_schedule = build_lr_schedule(
+        "yoloxwarmcos", lr=0.001 / 64 * batch, iters_per_epoch=100,
+        max_epoch=15, warmup_epochs=1, no_aug_epochs=15)
+    state, tx = create_train_state(variables, lr_schedule)
+    step_fn = make_train_step(
+        model, tx, num_classes=8, lr_schedule=lr_schedule,
+        gamma=1.0, ignore_thr=0.5, ignore_value=1.5, remat=remat)
+    jitted = jit_train_step(step_fn, donate=_donation_safe())
+
+    batch_d = jax.device_put({
+        "images": images, "labels": labels, "support_labels": labels.copy()})
+    state = jax.device_put(state)
+    state, metrics = jitted(state, batch_d)  # compile + warm
+    float(metrics["total_loss"])
+    flops = _flops(jitted, state, batch_d)
+
+    holder = {"state": state, "metrics": metrics}
+
+    def dispatch():
+        for _ in range(R):
+            holder["state"], holder["metrics"] = jitted(
+                holder["state"], batch_d)
+
+    step_s = _timed_samples(
+        dispatch, lambda: float(holder["metrics"]["total_loss"]),
+        n_samples, R,
+    )
+    rate = batch / step_s
+    extra = f"; {rate:.1f} imgs/s/chip"
+    if flops:
+        mfu = flops / step_s / V5E_BF16_PEAK
+        extra += f"; {flops/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
+    tag = f"train_s_b{batch}" + ("_remat" if remat else "")
+    _report(tag, step_s * 1e3, "step", extra)
+    return {tag: {
+        "ms_per_step": round(step_s * 1e3, 1),
+        "imgs_per_sec": round(rate, 1),
+        "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+    }}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("which", choices=[
+        "stream_fp32", "serve8", "eval_fwd", "train_s", "all"])
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--samples", type=int, default=8)
+    p.add_argument("--remat", action="store_true")
+    args = p.parse_args()
+
+    results = {}
+    if args.which in ("stream_fp32", "all"):
+        results.update(bench_stream("fp32", args.batch or 1, args.samples))
+    if args.which in ("serve8", "all"):
+        results.update(bench_stream("bf16", args.batch or 8, args.samples))
+    if args.which in ("eval_fwd", "all"):
+        results.update(bench_eval_fwd(args.batch or 8, args.samples))
+    if args.which in ("train_s", "all"):
+        results.update(bench_train(args.batch or 16, args.samples,
+                                   remat=args.remat))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
