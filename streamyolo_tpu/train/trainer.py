@@ -65,6 +65,7 @@ class Trainer:
         self.logger = get_logger()
         self.use_tal = exp.head_name == "tal"
         self.tb_writer = None
+        self.wandb_logger = None
 
     # ------------------------------------------------------------------ setup
 
@@ -125,12 +126,26 @@ class Trainer:
             batch_size=getattr(args, "eval_batch_size", args.batch_size),
             is_distributed=False,
         )
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        # logger backend selection (`double_trainer.py:184-193`): tensorboard
+        # or wandb (wandb-* key/value pairs come through --opts).
+        backend = getattr(args, "logger", "tensorboard")
+        if backend == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self.tb_writer = SummaryWriter(self.file_name)
-        except Exception:
-            self.tb_writer = None
+                self.tb_writer = SummaryWriter(self.file_name)
+            except Exception:
+                self.tb_writer = None
+        elif backend == "wandb":
+            from streamyolo_tpu.utils.wandb_logger import WandbLogger
+
+            self.wandb_logger = WandbLogger.initialize_wandb_logger(
+                args, exp
+            )
+        else:
+            raise ValueError(
+                "logger must be either 'tensorboard' or 'wandb'"
+            )
         self.logger.info("Training starts...")
 
     def resume_train(self, variables):
@@ -275,6 +290,12 @@ class Trainer:
             for k, v in loss_meter.items():
                 self.tb_writer.add_scalar(f"train/{k}", v.latest, step)
             self.tb_writer.add_scalar("train/lr", lr, step)
+        if self.wandb_logger is not None:
+            # per-interval metric push (`double_trainer.py:269-271`)
+            self.wandb_logger.log_metrics(
+                {k: v.latest for k, v in loss_meter.items()}
+            )
+            self.wandb_logger.log_metrics({"lr": lr})
 
     # ------------------------------------------------------------------ epoch end
 
@@ -305,6 +326,13 @@ class Trainer:
         if self.tb_writer is not None:
             self.tb_writer.add_scalar("val/COCOAP50", ap50, self.epoch + 1)
             self.tb_writer.add_scalar("val/COCOAP50_95", ap, self.epoch + 1)
+        if self.wandb_logger is not None:
+            # per-epoch val metrics (`double_trainer.py:340-345`)
+            self.wandb_logger.log_metrics({
+                "val/COCOAP50": ap50,
+                "val/COCOAP50_95": ap,
+                "train/epoch": self.epoch + 1,
+            })
         update_best_ckpt = ap > self.best_ap
         self.best_ap = max(self.best_ap, ap)
         self.save_ckpt("last_epoch", update_best_ckpt)
@@ -332,6 +360,11 @@ class Trainer:
         }
         self.logger.info(f"Save weights to {self.file_name} ({ckpt_name})")
         save_checkpoint(state, update_best_ckpt, self.file_name, ckpt_name)
+        if self.wandb_logger is not None:
+            # checkpoint artifact upload (`double_trainer.py:370-371`)
+            self.wandb_logger.save_checkpoint(
+                self.file_name, ckpt_name, update_best_ckpt
+            )
 
     def after_train(self):
         self.logger.info(
@@ -339,3 +372,6 @@ class Trainer:
         )
         if self.tb_writer is not None:
             self.tb_writer.close()
+        if self.wandb_logger is not None:
+            # `double_trainer.py:203-204`
+            self.wandb_logger.finish()

@@ -119,6 +119,67 @@ def test_trainer_smoke(fake_argoverse, tmp_path):
     assert int(trainer2.state.step) == int(trainer.state.step)
 
 
+def test_trainer_wandb_sink(fake_argoverse, tmp_path, monkeypatch):
+    """-l wandb drives the full W&B path (`double_trainer.py:186-191,
+    269-271,340-345,370-371`): init from wandb-* opts, per-interval metric
+    push, per-epoch val metrics, checkpoint artifacts, finish()."""
+    import sys
+    import types
+
+    calls = {"logs": [], "artifacts": [], "finished": [], "init": []}
+
+    class _Run:
+        def log_artifact(self, artifact, aliases=None):
+            calls["artifacts"].append((artifact.name, artifact.files, aliases))
+
+        def finish(self):
+            calls["finished"].append(True)
+
+    class _Artifact:
+        def __init__(self, name, type=None, metadata=None):
+            self.name = name
+            self.files = []
+
+        def add_file(self, path):
+            assert os.path.exists(path), path
+            self.files.append(os.path.basename(path))
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: (calls["init"].append(kw), _Run())[1]
+    fake.log = lambda metrics, step=None: calls["logs"].append(metrics)
+    fake.Artifact = _Artifact
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    exp = get_exp(os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"))
+    exp.depth, exp.width = 0.33, 0.25
+    exp.data_dir = fake_argoverse
+    exp.input_size = FAKE_IMG_SIZE
+    exp.test_size = FAKE_IMG_SIZE
+    exp.random_size = None
+    exp.data_num_workers = 0
+    exp.max_epoch = 1
+    exp.no_aug_epochs = 1
+    exp.eval_interval = 1
+    exp.save_history_ckpt = False
+    exp.output_dir = str(tmp_path)
+    exp.print_interval = 1
+
+    args = argparse.Namespace(
+        batch_size=8, fp16=False, resume=False, ckpt=None, cache=False,
+        experiment_name="wandb_smoke", eval_batch_size=4, start_epoch=None,
+        logger="wandb", opts=["wandb-project", "streamyolo-tpu"],
+    )
+    trainer = exp.get_trainer(args)
+    trainer.train()
+
+    assert calls["init"] and calls["init"][0]["project"] == "streamyolo-tpu"
+    logged_keys = set().union(*(m.keys() for m in calls["logs"]))
+    assert "total_loss" in logged_keys and "lr" in logged_keys
+    assert {"val/COCOAP50", "val/COCOAP50_95"} <= logged_keys
+    assert any(name == "latest" for name, _, _ in calls["artifacts"])
+    assert calls["finished"] == [True]
+
+
 def test_multiscale_random_resize_and_preprocess():
     import jax.numpy as jnp
 

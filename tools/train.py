@@ -46,7 +46,8 @@ def make_parser():
     parser.add_argument("--dist-url", default=None, type=str,
                         help="JAX distributed coordinator address (host:port)")
     parser.add_argument("-l", "--logger", type=str, default="tensorboard",
-                        help="logger backend: tensorboard")
+                        help="logger backend: tensorboard | wandb "
+                             "(wandb-* 'key value' pairs in opts configure the run)")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="extra 'key value' Exp overrides")
