@@ -178,9 +178,37 @@ class Trainer:
         return variables
 
     def _restore_state(self, init_state, saved):
+        """Shape/structure-tolerant train-state restore: leaves present in
+        the checkpoint with matching shapes are taken, everything else keeps
+        its freshly-initialized value, with a clear log of what was skipped
+        (mirrors the reference's tolerant ``resume_train``,
+        `double_trainer.py:285-318` — a raw tree_map would crash on any
+        config change between save and resume)."""
         import jax
 
-        return jax.tree_util.tree_map(lambda a, b: np.asarray(b), init_state, saved)
+        keystr = jax.tree_util.keystr
+        init_leaves, treedef = jax.tree_util.tree_flatten_with_path(init_state)
+        saved_leaves = {
+            keystr(kp): leaf
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(saved)[0]
+        }
+        merged, skipped = [], []
+        for kp, leaf in init_leaves:
+            k = keystr(kp)
+            s = saved_leaves.get(k)
+            if s is not None and tuple(np.shape(s)) == tuple(np.shape(leaf)):
+                merged.append(np.asarray(s))
+            else:
+                merged.append(leaf)
+                skipped.append(k)
+        if skipped:
+            self.logger.warning(
+                "Resume: checkpoint train state mismatches the current "
+                "config for %d of %d leaves (kept init values): %s%s",
+                len(skipped), len(init_leaves), ", ".join(skipped[:5]),
+                ", ..." if len(skipped) > 5 else "",
+            )
+        return jax.tree_util.tree_unflatten(treedef, merged)
 
     # ------------------------------------------------------------------ loop
 

@@ -118,6 +118,20 @@ def test_trainer_smoke(fake_argoverse, tmp_path):
     assert trainer2.start_epoch == 1
     assert int(trainer2.state.step) == int(trainer.state.step)
 
+    # resume after a config width change: tolerant restore keeps init values
+    # for mismatched leaves instead of crashing (`double_trainer.py:285-318`)
+    exp_wide = get_exp(os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"))
+    for k in ("data_dir", "input_size", "test_size", "random_size",
+              "data_num_workers", "max_epoch", "no_aug_epochs", "eval_interval",
+              "save_history_ckpt", "output_dir", "print_interval"):
+        setattr(exp_wide, k, getattr(exp, k))
+    exp_wide.depth, exp_wide.width = 0.33, 0.375  # different channel widths
+    trainer3 = exp_wide.get_trainer(args2)
+    trainer3.before_train()  # must not raise
+    assert trainer3.start_epoch == 1
+    # step counter has matching shape () -> restored from the checkpoint
+    assert int(trainer3.state.step) == int(trainer.state.step)
+
 
 def test_trainer_wandb_sink(fake_argoverse, tmp_path, monkeypatch):
     """-l wandb drives the full W&B path (`double_trainer.py:186-191,
