@@ -44,9 +44,6 @@ __all__ = [
 from streamyolo_tpu.stream.forecast import (
     KFForecaster,
     Streamer,
-    batch_kf_predict,
-    batch_kf_predict_only,
-    batch_kf_update,
     bbox_extrap_lin,
     bbox_extrap_quad,
     extrap_clean_up,
@@ -61,9 +58,6 @@ from streamyolo_tpu.stream.track import (
 __all__ += [
     "KFForecaster",
     "Streamer",
-    "batch_kf_predict",
-    "batch_kf_predict_only",
-    "batch_kf_update",
     "bbox_extrap_lin",
     "bbox_extrap_quad",
     "extrap_clean_up",

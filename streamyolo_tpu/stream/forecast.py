@@ -29,49 +29,57 @@ from streamyolo_tpu.stream.track import iou_assoc
 # ---------------------------------------------------------------- KF core
 
 
-def bbox2z(bboxes: np.ndarray) -> np.ndarray:
-    """[n,4] -> [n,4,1] measurement column vectors."""
-    return np.asarray(bboxes, np.float64)[:, :, None]
+# State layout: [l, t, w, h] followed by their per-frame velocities. All
+# tracks are filtered at once: states are [n, 8, 1] column stacks, and every
+# matrix op below broadcasts the shared [8, 8] model over the track axis.
+_DIM = 8
 
 
-def bbox2x(bboxes: np.ndarray) -> np.ndarray:
-    """[n,4] -> [n,8,1] state vectors with zero velocity."""
-    b = np.asarray(bboxes, np.float64)
+def _transition(dt: float) -> np.ndarray:
+    """Constant-velocity model: each box coordinate drifts by dt * velocity."""
+    A = np.eye(_DIM)
+    A[np.arange(4), np.arange(4, 8)] = dt
+    return A
+
+
+def _drift_noise(dt: float) -> np.ndarray:
+    """Isotropic process noise growing with the prediction horizon."""
+    return (dt * dt) * np.eye(_DIM)
+
+
+def _as_states(boxes_ltwh: np.ndarray) -> np.ndarray:
+    """[n,4] boxes -> [n,8,1] zero-velocity state columns."""
+    b = np.asarray(boxes_ltwh, np.float64)
     return np.concatenate((b, np.zeros_like(b)), axis=1)[:, :, None]
 
 
-def x2bbox(x: np.ndarray) -> np.ndarray:
-    return x[:, :4, 0]
+def _as_measurements(boxes_ltwh: np.ndarray) -> np.ndarray:
+    """[n,4] boxes -> [n,4,1] observation columns (positions only)."""
+    return np.asarray(boxes_ltwh, np.float64)[:, :, None]
 
 
-def make_F(F: np.ndarray, dt: float) -> np.ndarray:
-    F[[0, 1, 2, 3], [4, 5, 6, 7]] = dt
-    return F
+def _boxes_of(states: np.ndarray) -> np.ndarray:
+    """[n,8,1] states -> [n,4] ltwh boxes (drop the velocity half)."""
+    return states[:, :4, 0]
 
 
-def make_Q(Q: np.ndarray, dt: float) -> np.ndarray:
-    Q[np.arange(8), np.arange(8)] = dt * dt
-    return Q
+def _kf_project(A: np.ndarray, states: np.ndarray) -> np.ndarray:
+    """Advance states without touching the covariances (forecast query)."""
+    return A @ states
 
 
-def batch_kf_predict_only(F: np.ndarray, x: np.ndarray) -> np.ndarray:
-    return F @ x
+def _kf_time_step(A, Q, states, covs):
+    """Batched predict: x' = A x,  P' = A P Aᵀ + Q."""
+    return A @ states, A @ covs @ A.T + Q
 
 
-def batch_kf_predict(F, x, P, Q):
-    x = F @ x
-    P = F @ P @ F.T + Q
-    return x, P
-
-
-def batch_kf_update(z, x, P, R):
-    """Measurement update; H is a slice of the first 4 states."""
-    y = z - x[:, :4]
-    S = P[:, :4, :4] + R
-    K = P[:, :, :4] @ np.linalg.inv(S)
-    x = x + K @ y
-    P = P - K @ P[:, :4]
-    return x, P
+def _kf_correct(states, covs, observations, R):
+    """Batched measurement update. The observation matrix is [I₄ 0] (boxes
+    observe positions, never velocities), so H-products reduce to slicing:
+    gain K = P[:, :, :4] (P[:, :4, :4] + R)⁻¹."""
+    innovation = observations - states[:, :4]
+    gain = covs[:, :, :4] @ np.linalg.inv(covs[:, :4, :4] + R)
+    return states + gain @ innovation, covs - gain @ covs[:, :4]
 
 
 # ------------------------------------------------------------ extrapolation
@@ -155,19 +163,19 @@ class KFForecaster:
 
         if len(self.tracks) and self.last_t is not None:
             dt = t - self.last_t
-            F = make_F(np.eye(8), dt)
-            Q = make_Q(np.eye(8), dt)
-            self.x, self.P = batch_kf_predict(F, self.x, self.P, Q)
+            self.x, self.P = _kf_time_step(
+                _transition(dt), _drift_noise(dt), self.x, self.P
+            )
 
         if len(self.tracks) == 0:
-            self.x = bbox2x(bboxes_ltwh)
+            self.x = _as_states(bboxes_ltwh)
             self.P = np.tile(self.P_init_scale * np.eye(8), (len(bboxes_ltwh), 1, 1))
             self.tracks = np.arange(len(bboxes_ltwh), dtype=np.int64)
             self.labels = labels
             self.scores = scores
             self.tkidx = len(bboxes_ltwh)
         else:
-            prev_boxes = x2bbox(self.x)
+            prev_boxes = _boxes_of(self.x)
             order1, order2, n_matched, tracks2, self.tkidx = iou_assoc(
                 prev_boxes, self.labels, self.tracks, self.tkidx,
                 bboxes_ltwh, labels, self.match_iou_th,
@@ -177,15 +185,16 @@ class KFForecaster:
             P = self.P[order1]
             new_boxes = bboxes_ltwh[order2]
             if n_matched:
-                x_m, P_m = batch_kf_update(
-                    bbox2z(new_boxes[:n_matched]), x[:n_matched], P[:n_matched], self.R
+                x_m, P_m = _kf_correct(
+                    x[:n_matched], P[:n_matched],
+                    _as_measurements(new_boxes[:n_matched]), self.R,
                 )
             else:
                 x_m = x[:0]
                 P_m = P[:0]
             # unmatched new detections: fresh tracks
             n_new = len(new_boxes) - n_matched
-            x_new = bbox2x(new_boxes[n_matched:])
+            x_new = _as_states(new_boxes[n_matched:])
             P_new = np.tile(self.P_init_scale * np.eye(8), (n_new, 1, 1))
             self.x = np.concatenate((x_m, x_new))
             self.P = np.concatenate((P_m, P_new))
@@ -202,9 +211,8 @@ class KFForecaster:
                 np.zeros(0, np.int64),
             )
         dt = t_query - self.last_t
-        F = make_F(np.eye(8), dt)
-        x_pred = batch_kf_predict_only(F, self.x)
-        bboxes, keep = extrap_clean_up(x2bbox(x_pred), w_img, h_img, min_size, lt=True)
+        x_pred = _kf_project(_transition(dt), self.x)
+        bboxes, keep = extrap_clean_up(_boxes_of(x_pred), w_img, h_img, min_size, lt=True)
         return bboxes, self.scores[keep], self.labels[keep], self.tracks[keep]
 
 

@@ -21,26 +21,40 @@ Number = Union[int, float, Fraction]
 
 def sim(policy: Callable[[Number, Number], bool], r: Number, T: int, eta: int = 0) -> Number:
     """Cumulative temporal mismatch of ``policy`` for runtime ``r`` (in frame
-    periods) over ``T`` frames. ``policy(t_finish, r) -> wait?`` decides
-    whether to idle until the next frame boundary before starting work."""
-    assert eta >= -1, "not implemented for eta < -1"
-    cmismatch: Number = 0
-    result_idx = None
-    process_idx = 0
-    t_finish = r  # always start with no idle time
-    for t in range(T - eta):
-        if t_finish < t:
-            result_idx = process_idx
-            if policy(t_finish, r):
-                t_finish = t + r
-                process_idx = t
+    periods) over ``T`` frames. ``policy(done_at, r) -> wait?`` decides
+    whether to idle until the next frame boundary before starting work.
+
+    Modeled as a one-server queue ticked at frame boundaries: the detector
+    always has exactly one job in flight, described by ``(done_at, src)`` —
+    when it finishes and its input frame. Each query at time ``now + eta``
+    is answered by the freshest finished job, and the mismatch it pays is
+    the age of that job's input frame.
+    """
+    if eta < -1:
+        raise NotImplementedError(
+            "queries more than one frame ahead of observations"
+        )
+    total_age: Number = 0
+    freshest = None  # input frame index of the newest finished job
+    job = (r, 0)  # the first job grabs frame 0 the instant it appears
+    for now in range(T - eta):
+        done_at, src = job
+        if done_at < now:  # the in-flight job finished before this tick
+            freshest = src
+            if policy(done_at, r):
+                # idle to the boundary and take the brand-new frame
+                job = (now + r, now)
             else:
-                # result_idx == t-1 means r <= 1: already waiting on fresh data
-                process_idx = t if t_finish == t or result_idx == t - 1 else t - 1
-                t_finish += r
-        if t + eta >= 0 and result_idx is not None:
-            cmismatch += t + eta - result_idx
-    return cmismatch
+                # start immediately on the newest captured frame. That is
+                # frame now-1 (mid-period start), except when the job ended
+                # exactly on the boundary, or when the pipeline is already
+                # frame-synchronous (r <= 1 makes the previous input now-1),
+                # in which case frame `now` is what the camera just emitted.
+                synchronous = done_at == now or freshest == now - 1
+                job = (done_at + r, now if synchronous else now - 1)
+        if now + eta >= 0 and freshest is not None:
+            total_age += now + eta - freshest
+    return total_age
 
 
 def tail(x: Number) -> Number:

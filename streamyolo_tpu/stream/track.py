@@ -14,7 +14,7 @@ detections start fresh track ids.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -35,30 +35,35 @@ def iou_ltwh(bboxes1: np.ndarray, bboxes2: np.ndarray) -> np.ndarray:
 
 
 def _greedy_match(ious: np.ndarray, labels1, labels2, match_iou_th: float):
+    """For each new detection j (in score order), claim the still-free
+    previous box of the same label with the highest IoU >= threshold.
+
+    The per-detection scan is a vectorized masked argmax over previous
+    boxes; ``free`` tracks which rows are still claimable. Equal maxima
+    resolve to the HIGHEST row index (the sequential scan this replaces
+    kept updating on ties), so the C++ twin stays bit-compatible.
+    """
+    ious = np.asarray(ious, np.float64)
+    labels1 = np.asarray(labels1)
+    labels2 = np.asarray(labels2)
     m, n = ious.shape
-    match_fwd: List[Optional[int]] = m * [None]
-    matched1: List[int] = []
-    matched2: List[int] = []
-    unmatched2: List[int] = []
+    free = np.ones(m, bool)
+    prev_rows: List[int] = []
+    new_cols: List[int] = []
+    fresh: List[int] = []  # new detections that start their own track
     for j in range(n):
-        best_iou = match_iou_th
-        match_i = None
-        for i in range(m):
-            if (
-                match_fwd[i] is not None
-                or labels1[i] != labels2[j]
-                or ious[i, j] < best_iou
-            ):
-                continue
-            best_iou = ious[i, j]
-            match_i = i
-        if match_i is None:
-            unmatched2.append(j)
+        if m:
+            score = np.where(
+                free & (labels1 == labels2[j]), ious[:, j], -np.inf
+            )
+            i = m - 1 - int(score[::-1].argmax())  # last argmax on ties
+        if not m or score[i] < match_iou_th:
+            fresh.append(j)
         else:
-            matched1.append(match_i)
-            matched2.append(j)
-            match_fwd[match_i] = j
-    return matched1, matched2, unmatched2
+            free[i] = False
+            prev_rows.append(i)
+            new_cols.append(j)
+    return prev_rows, new_cols, fresh
 
 
 def iou_assoc(
