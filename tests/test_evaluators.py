@@ -191,3 +191,134 @@ def test_distributed_eval_single_process(fake_argoverse):
     )
     ap, ap50, _ = evaluator.evaluate(_oracle_forward(ds, shift=1), distributed=True)
     assert ap50 == pytest.approx(43 / 101, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def textured_argoverse(tmp_path_factory):
+    """fake_argoverse twin with per-pixel noise frames: the shared fixture's
+    constant-gray frames make every spatial location score identically,
+    which leaves NMS ordering to tie-breaks — useless for cross-stack row
+    equality."""
+    import json
+
+    import cv2
+
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("argoverse_tex")
+    ann_dir = root / "Argoverse-HD" / "annotations"
+    ann_dir.mkdir(parents=True)
+    images, annotations = [], []
+    img_id = ann_id = 0
+    for sid, n_frames in enumerate((4, 3)):
+        d = root / "Argoverse-1.1" / "tracking" / f"seq{sid}"
+        d.mkdir(parents=True)
+        for fid in range(n_frames):
+            frame = rng.integers(0, 255, (FAKE_H, FAKE_W, 3)).astype(np.uint8)
+            cv2.imwrite(str(d / f"f{fid}.jpg"), frame)
+            images.append(dict(id=img_id, width=FAKE_W, height=FAKE_H,
+                               sid=sid, fid=fid, name=f"f{fid}.jpg"))
+            annotations.append(dict(id=ann_id, image_id=img_id, category_id=2,
+                                    bbox=[10 + 2 * fid, 20, 10, 8], area=80,
+                                    iscrowd=0))
+            ann_id += 1
+            img_id += 1
+    cats = [dict(id=i, name=n) for i, n in enumerate(
+        "person bicycle car motorcycle bus truck traffic_light stop_sign".split())]
+    data = dict(images=images, annotations=annotations, categories=cats,
+                seq_dirs=["seq0", "seq1"], sequences=["seq0", "seq1"])
+    with open(ann_dir / "val.json", "w") as f:
+        json.dump(data, f)
+    return str(root)
+
+
+def test_pipeline_equality_torch_vs_jax(textured_argoverse):
+    """End-to-end bit-match evidence (BASELINE north-star surrogate): the
+    synthetic drifting-box video pushed through BOTH stacks —
+      torch oracle forward + reference-surface postprocess list + COCO
+      conversion (the reference pipeline's semantics), vs
+      the production JAX evaluate() (jitted forward + fixed-shape NMS) —
+    yields the same COCO rows and the same sAP."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.models import DFPPAFPN, TALHead, StreamYOLO
+    from streamyolo_tpu.ops.nms import postprocess
+    from streamyolo_tpu.utils.torch_import import (
+        merge_variables,
+        state_dict_to_variables,
+    )
+    from tests import torch_oracle as oracle
+
+    IMG = (32, 64)  # model needs /32-divisible inputs
+    torch.manual_seed(3)
+    tmodel = oracle.StreamYOLOOracle(num_classes=NUM_CLASSES, depth=0.33, width=0.25)
+    tmodel.eval()
+    with torch.no_grad():
+        # spread the scores: at init the obj/cls prior bias (-4.6) pins all
+        # scores to ~1e-4 (below any usable conf) and near-ties would make
+        # NMS ordering knife-edge; jittering only the score-head biases
+        # gives distinct, well-separated detections without touching the
+        # exp box decode
+        for name, p in tmodel.named_parameters():
+            if "obj_preds" in name and name.endswith("bias"):
+                p.add_(3.0)  # lift obj off the 0.01 prior
+            elif "cls_preds" in name and name.endswith("bias"):
+                p.add_(2.0 * torch.randn_like(p))
+    jmodel = StreamYOLO(
+        backbone=DFPPAFPN(depth=0.33, width=0.25),
+        head=TALHead(num_classes=NUM_CLASSES, width=0.25),
+    )
+    variables = jmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IMG, 6), jnp.float32),
+        mode="off_pipe",
+    )
+    variables = merge_variables(
+        variables, state_dict_to_variables(tmodel.state_dict()), strict=True
+    )
+    conf, nmsthre = 0.001, 0.65
+
+    def make_eval():
+        ds = ONE_ARGOVERSEDataset(
+            textured_argoverse, "val.json", name="val", img_size=IMG,
+            preproc=DoubleValTransform(),
+        )
+        loader = DataLoader(ds, batch_size=2, num_workers=0, shuffle=False)
+        return ONEX_COCOEvaluator(
+            loader, img_size=IMG, confthre=conf, nmsthre=nmsthre,
+            num_classes=NUM_CLASSES,
+        )
+
+    # production JAX path
+    ev_j = make_eval()
+    fwd = jax.jit(lambda v, x: jmodel.apply(v, x, mode="off_pipe"))
+    (ap_j, ap50_j, _), rows_j = ev_j.evaluate(
+        lambda x: np.asarray(fwd(variables, jnp.asarray(x)), np.float32),
+        return_outputs=True,
+    )
+
+    # torch-oracle + reference-surface pipeline
+    ev_t = make_eval()
+    rows_t = []
+    for imgs, _, info_imgs, ids in ev_t.dataloader:
+        with torch.no_grad():
+            preds = tmodel(
+                torch.from_numpy(
+                    np.asarray(imgs, np.float32).transpose(0, 3, 1, 2)
+                )
+            ).numpy()
+        outputs = postprocess(preds, NUM_CLASSES, conf, nmsthre)
+        rows_t.extend(ev_t.convert_to_coco_format(outputs, info_imgs, ids))
+    ap_t, ap50_t, _ = ev_t.evaluate_prediction(
+        rows_t, np.array([1.0, 0.0, 1.0])
+    )
+
+    assert len(rows_j) == len(rows_t) > 0
+    for rj, rt in zip(rows_j, rows_t):
+        assert rj["image_id"] == rt["image_id"]
+        assert rj["category_id"] == rt["category_id"]
+        np.testing.assert_allclose(rj["bbox"], rt["bbox"], atol=1e-3)
+        np.testing.assert_allclose(rj["score"], rt["score"], atol=1e-5)
+    assert ap_j == pytest.approx(ap_t, abs=1e-9)
+    assert ap50_j == pytest.approx(ap50_t, abs=1e-9)

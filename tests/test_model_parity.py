@@ -118,3 +118,46 @@ def test_bf16_eval_close_to_fp32(rng):
     prob_err = np.abs(out16[..., 4:].astype(np.float32) - out32[..., 4:]).max()
     assert box_err < 2.0, box_err       # < 2px at init-scale activations
     assert prob_err < 0.05, prob_err    # probabilities within 5e-2
+
+
+def test_full_scale_pth_import_parity(rng, tmp_path):
+    """BASELINE north-star surrogate: the s config (depth 0.33, width 0.50)
+    at the full 600x960 input, fp32, weights round-tripped through a real
+    torch ``.pth`` file via the production import path
+    (``load_torch_checkpoint``) — the exact flow a user of the released
+    ``s_s50_one_x.pth`` runs, checked against the torch oracle forward."""
+    import os
+
+    torch.manual_seed(7)
+    tmodel = oracle.StreamYOLOOracle(num_classes=8, depth=0.33, width=0.50)
+    tmodel.eval()
+    pth = os.path.join(str(tmp_path), "s_s50_one_x.pth")
+    torch.save({"model": tmodel.state_dict()}, pth)
+
+    from streamyolo_tpu.utils.checkpoint import load_checkpoint
+
+    jmodel = StreamYOLO(
+        backbone=DFPPAFPN(depth=0.33, width=0.50),
+        head=TALHead(num_classes=8, width=0.50),
+    )
+    variables = jmodel.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 600, 960, 6), jnp.float32),
+        mode="off_pipe",
+    )
+    variables = merge_variables(
+        variables, load_checkpoint(pth)["model"], strict=True
+    )
+
+    x = rng.uniform(0, 255, (1, 6, 600, 960)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    out = np.asarray(
+        jax.jit(lambda v, y: jmodel.apply(v, y, mode="off_pipe"))(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+    )
+    assert out.shape == ref.shape == (1, 11850, 13)
+    # decoded xy/wh reach ~960px here; obj/cls are probabilities
+    np.testing.assert_allclose(out[..., :4], ref[..., :4], atol=2e-2, rtol=1e-4)
+    np.testing.assert_allclose(out[..., 4:], ref[..., 4:], atol=1e-4, rtol=1e-4)

@@ -37,7 +37,10 @@ def make_parser():
                         help="evaluate on test split")
     parser.add_argument("--speed", dest="speed", default=False, action="store_true",
                         help="speed-only test")
-    parser.add_argument("--legacy", dest="legacy", default=False, action="store_true")
+    parser.add_argument("--legacy", dest="legacy", default=False, action="store_true",
+                        help="accepted for older-version compatibility; like the "
+                             "reference (tools/eval.py:86-93, evaluator call with "
+                             "legacy commented out at :152) it changes nothing")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
