@@ -5,6 +5,7 @@ from streamyolo_tpu.eval.evaluators import (
     TWOX_COCOEvaluator,
     per_class_AP_table,
 )
+from streamyolo_tpu.eval.seq_forward import SequentialDedupForward
 
 __all__ = [
     "COCOeval",
@@ -14,4 +15,5 @@ __all__ = [
     "STILL_COCOEvaluator",
     "TWOX_COCOEvaluator",
     "per_class_AP_table",
+    "SequentialDedupForward",
 ]

@@ -134,7 +134,12 @@ class _StreamEvaluatorBase:
 
             if is_time_iter:
                 start = time.perf_counter()
-            preds = forward_fn(np.asarray(imgs, np.float32))
+            if getattr(forward_fn, "needs_ids", False):
+                # sequential-dedup forward (eval/seq_forward.py) maps ids to
+                # the dataset's self-support boundary flags
+                preds = forward_fn(np.asarray(imgs, np.float32), ids)
+            else:
+                preds = forward_fn(np.asarray(imgs, np.float32))
             fixed = postprocess_fixed(
                 preds, self.num_classes, self.confthre, self.nmsthre
             )

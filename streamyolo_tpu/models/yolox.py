@@ -44,9 +44,20 @@ class StreamYOLO(nn.Module):
         buffer: Optional[Buffer] = None,
         mode: str = "off_pipe",
         *,
+        is_self_support: Optional[jax.Array] = None,
         train: bool = False,
     ):
-        assert mode in ("off_pipe", "on_pipe")
+        assert mode in ("off_pipe", "on_pipe", "seq")
+        if mode == "seq":
+            # Sequential-dedup batched eval: one backbone pass per unique
+            # frame (see DFPPAFPN mode='seq'); returns the [1,...] last-frame
+            # feature carry for the next batch.
+            fpn_outs, buffer_ = self.backbone(
+                x, buffer=buffer, mode="seq",
+                is_self_support=is_self_support, train=False,
+            )
+            outputs = self.head(fpn_outs, train=False)
+            return eval_outputs(outputs, self.head.strides), buffer_
         if mode == "off_pipe":
             fpn_outs = self.backbone(x, mode="off_pipe", train=train)
             outputs = self.head(fpn_outs, train=train)

@@ -322,3 +322,49 @@ def test_pipeline_equality_torch_vs_jax(textured_argoverse):
         np.testing.assert_allclose(rj["score"], rt["score"], atol=1e-5)
     assert ap_j == pytest.approx(ap_t, abs=1e-9)
     assert ap50_j == pytest.approx(ap50_t, abs=1e-9)
+
+
+def test_sequential_dedup_forward_matches_off_pipe(textured_argoverse):
+    """mode='seq' (one backbone pass per unique frame, batch-shifted support
+    features + HBM carry) reproduces the off_pipe dual-frame eval exactly —
+    including the ONE dataset's self-support boundaries and the padded tail
+    batch — at half the backbone FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.eval.seq_forward import SequentialDedupForward
+    from streamyolo_tpu.models import DFPPAFPN, TALHead, StreamYOLO
+
+    IMG = (32, 64)
+    ds = ONE_ARGOVERSEDataset(
+        textured_argoverse, "val.json", name="val", img_size=IMG,
+        preproc=DoubleValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=2, num_workers=0, shuffle=False)
+
+    model = StreamYOLO(
+        backbone=DFPPAFPN(depth=0.33, width=0.25),
+        head=TALHead(num_classes=NUM_CLASSES, width=0.25),
+    )
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 6), jnp.float32),
+        mode="off_pipe",
+    )
+    off = jax.jit(
+        lambda v, x: model.apply(v, x, mode="off_pipe", train=False)
+    )
+    dedup = SequentialDedupForward(model, variables, ds)
+
+    bs = loader.batch_size
+    for imgs, _, info_imgs, ids in loader:
+        imgs = np.asarray(imgs, np.float32)
+        n_real = imgs.shape[0]
+        if n_real < bs:  # replicate evaluate()'s tail padding
+            imgs = np.concatenate(
+                [imgs, np.zeros((bs - n_real,) + imgs.shape[1:], imgs.dtype)]
+            )
+        want = np.asarray(off(variables, imgs))
+        got = np.asarray(dedup(imgs, ids))
+        np.testing.assert_allclose(
+            got[:n_real], want[:n_real], atol=1e-5, rtol=1e-5
+        )

@@ -154,14 +154,15 @@ def bench_stream(dtype_name: str, batch: int, n_samples: int):
                    "frames_per_sec": round(fps, 1)}}
 
 
-def bench_eval_fwd(batch: int, n_samples: int):
+def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
+                   width: float = 1.0):
     """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from streamyolo_tpu.ops.nms import postprocess_fixed
 
-    model = _build_model(depth=1.0, width=1.0, dtype=jnp.bfloat16)
+    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16)
     variables = jax.device_put(model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
         mode="off_pipe", train=False,
@@ -193,8 +194,64 @@ def bench_eval_fwd(batch: int, n_samples: int):
     if flops:
         mfu = flops / step_s / V5E_BF16_PEAK
         extra += f"; {flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.0f}%"
-    _report(f"eval_fwd_l_b{batch}", step_s * 1e3, "batch", extra)
-    return {f"eval_fwd_l_b{batch}": {
+    tag = f"eval_fwd_d{depth}_w{width}_b{batch}"
+    _report(tag, step_s * 1e3, "batch", extra)
+    return {tag: {
+        "ms_per_batch": round(step_s * 1e3, 2),
+        "imgs_per_sec": round(rate, 1),
+        "gflops": round(flops / 1e9, 1) if flops else None,
+    }}
+
+
+def bench_eval_dedup(batch: int, n_samples: int, depth: float = 1.0,
+                     width: float = 1.0):
+    """Sequential-dedup eval forward (mode='seq'): one backbone pass per
+    unique frame, support features batch-shifted with an HBM carry."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16)
+    variables = jax.device_put(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
+        mode="off_pipe", train=False,
+    ))
+
+    @jax.jit
+    def step(v, x, carry, flags):
+        preds, new_carry = model.apply(
+            v, x, buffer=carry, mode="seq", is_self_support=flags)
+        return postprocess_fixed(preds, num_classes=8, conf_thre=0.01,
+                                 nms_thre=0.65), new_carry
+
+    frames = jax.device_put(np.random.RandomState(0).randint(
+        0, 255, (batch, 600, 960, 3)).astype(np.float32))
+    flags = jax.device_put(np.zeros(batch, bool))
+    out, carry = step(variables, frames, None, flags)  # first-batch trace
+    np.asarray(out[0, 0, 0])
+    out, carry = step(variables, frames, carry, flags)  # steady-state trace
+    np.asarray(out[0, 0, 0])
+    flops = _flops(step, variables, frames, carry, flags)
+
+    state = {"out": out, "carry": carry}
+
+    def dispatch():
+        for _ in range(R * K):  # carry-chained
+            state["out"], state["carry"] = step(
+                variables, frames, state["carry"], flags)
+
+    step_s = _timed_samples(
+        dispatch, lambda: np.asarray(state["out"][0, 0, 0]), n_samples, R * K
+    )
+    rate = batch / step_s
+    extra = f"; {rate:.0f} imgs/s/chip"
+    if flops:
+        mfu = flops / step_s / V5E_BF16_PEAK
+        extra += f"; {flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.0f}%"
+    tag = f"eval_dedup_d{depth}_w{width}_b{batch}"
+    _report(tag, step_s * 1e3, "batch", extra)
+    return {tag: {
         "ms_per_batch": round(step_s * 1e3, 2),
         "imgs_per_sec": round(rate, 1),
         "gflops": round(flops / 1e9, 1) if flops else None,
@@ -272,10 +329,12 @@ def bench_train(batch: int, n_samples: int, remat: bool = False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=[
-        "stream_fp32", "serve8", "eval_fwd", "train_s", "all"])
+        "stream_fp32", "serve8", "eval_fwd", "eval_dedup", "train_s", "all"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--depth", type=float, default=1.0)
+    p.add_argument("--width", type=float, default=1.0)
     args = p.parse_args()
 
     results = {}
@@ -284,7 +343,11 @@ def main():
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
-        results.update(bench_eval_fwd(args.batch or 8, args.samples))
+        results.update(bench_eval_fwd(args.batch or 8, args.samples,
+                                      depth=args.depth, width=args.width))
+    if args.which in ("eval_dedup", "all"):
+        results.update(bench_eval_dedup(args.batch or 8, args.samples,
+                                        depth=args.depth, width=args.width))
     if args.which in ("train_s", "all"):
         results.update(bench_train(args.batch or 16, args.samples,
                                    remat=args.remat))

@@ -32,6 +32,11 @@ def make_parser():
     parser.add_argument("--fuse", dest="fuse", default=False, action="store_true",
                         help="fold BN into conv weights before eval")
     parser.add_argument("--fp16", dest="fp16", default=False, action="store_true")
+    parser.add_argument("--dedup", action="store_true", default=False,
+                        help="sequential-dedup eval: one backbone pass per "
+                             "unique video frame (support features ride an "
+                             "HBM carry); ~2x faster, bit-identical output; "
+                             "onex + single-process only")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--test", dest="test", default=False, action="store_true",
                         help="evaluate on test split")
@@ -129,6 +134,14 @@ def main():
         return
 
     evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
+    if args.dedup:
+        import jax
+
+        from streamyolo_tpu.eval import SequentialDedupForward
+
+        assert exp.evaluator_name == "onex", "--dedup needs the ONE pairing"
+        assert jax.process_count() == 1, "--dedup needs an unsharded loader"
+        forward_fn = SequentialDedupForward(model, variables, evaluator.dataset)
     ap, ap50, summary = exp.eval(forward_fn, evaluator)
     logger.info(f"\n{summary}")
     logger.info(f"AP: {ap:.4f}  AP50: {ap50:.4f}")
