@@ -3,14 +3,15 @@
 The reference's offline dual-frame eval (and our off_pipe path) runs the
 backbone+PAFPN on BOTH halves of every 6-channel sample
 (`/root/reference/exps/model/dfp_pafpn.py:120-167`), but on a sequential
-video sample i's support frame IS sample i-1's current frame — half the
-backbone work recomputes the previous sample's features. This wrapper
+video sample i's support frame IS an earlier sample's current frame — half
+the backbone work recomputes features already produced. This wrapper
 evaluates with the model's ``mode='seq'``: a single batched pafpn pass over
-the current frames, support features taken as the batch-shifted outputs
-(the previous batch's last frame rides in an HBM-resident carry, exactly
-like the online DFP buffer), except at the ONE dataset's self-support
-boundaries. Bit-identical to off_pipe eval because BN uses running stats;
-~2x fewer backbone FLOPs per image.
+the current frames, support features gathered as the batch-shifted outputs
+(the previous batch's last two frames ride in an HBM-resident carry, exactly
+like the online DFP buffer). The per-row shift encodes the dataset's pairing
+rule — ONE: support = t-1 (shift 0 at boundaries); TWO: support = t-2
+(shift 1 or 0 at its boundaries). Bit-identical to off_pipe eval because BN
+uses running stats; ~2x fewer backbone FLOPs per image.
 
 Requires the val loader to traverse the dataset sequentially and unsharded
 (shuffle=False, single process) — the constructor asserts what it can.
@@ -22,22 +23,46 @@ from typing import Any, Dict
 
 import numpy as np
 
+from streamyolo_tpu.data.datasets import TWO_ARGOVERSEDataset
 
-def self_support_flags(dataset) -> np.ndarray:
-    """Per-dataset-index bool: True where the ONE dataset pairs the frame
-    with ITSELF (mirrors ``ONE_ARGOVERSEDataset._load_anno_from_id``:
-    fid==0, dataset tail, or next frame starts a new sequence)."""
+
+def support_shifts(dataset) -> np.ndarray:
+    """Per-dataset-index support shift s (support frame = frame idx-s),
+    mirroring the dataset's ``_load_anno_from_id`` boundary rules.
+
+    ONE pairing (`tal_flip_one_future_argoversedataset.py:74-91`): shift 1,
+    or 0 (self) at fid==0 / dataset tail / sequence tail.  TWO pairing
+    (`tal_flip_two_future_argoversedataset.py:73-103`): shift 2, degrading to
+    1 (fid==1, next-to-last rows, next-next frame starts a sequence) or 0.
+    """
     images = dataset.coco.dataset["images"]
     n = len(dataset.ids)
-    flags = np.zeros(n, bool)
+    two = isinstance(dataset, TWO_ARGOVERSEDataset)
+    shifts = np.zeros(n, np.int32)
     for idx, id_ in enumerate(dataset.ids):
         i = int(id_)
-        flags[idx] = (
-            images[i]["fid"] == 0
-            or i == n - 1
-            or images[i + 1]["fid"] == 0
-        )
-    return flags
+        if two:
+            if images[i]["fid"] == 0:
+                s = 0
+            elif images[i]["fid"] == 1:
+                s = 1
+            elif i == n - 1:
+                s = 0
+            elif i + 1 == n - 1:
+                s = 1
+            elif images[i + 1]["fid"] == 0:
+                s = 0
+            elif images[i + 2]["fid"] == 0:
+                s = 1
+            else:
+                s = 2
+        else:
+            if images[i]["fid"] == 0 or i == n - 1 or images[i + 1]["fid"] == 0:
+                s = 0
+            else:
+                s = 1
+        shifts[idx] = s
+    return shifts
 
 
 class SequentialDedupForward:
@@ -47,33 +72,41 @@ class SequentialDedupForward:
 
     needs_ids = True
 
-    def __init__(self, model, variables: Dict[str, Any], dataset):
+    def __init__(self, model, variables: Dict[str, Any], dataset, jit_fn=None):
         import jax
 
         self._model = model
         self._variables = variables
-        self._flags = self_support_flags(dataset)
+        self._shifts = support_shifts(dataset)
         self._id_to_idx = {int(v): k for k, v in enumerate(dataset.ids)}
         self._carry = None
 
-        def run(v, frames, carry, flags):
+        def run(v, frames, carry, shifts):
             return model.apply(
-                v, frames, buffer=carry, mode="seq", is_self_support=flags
+                v, frames, buffer=carry, mode="seq", support_shift=shifts
             )
 
-        self._jit = jax.jit(run)
+        # ``jit_fn`` lets a caller that evaluates repeatedly with fresh
+        # variables (the Trainer's per-epoch EMA eval) reuse one compiled
+        # program: variables are a traced ARGUMENT, but each fresh closure
+        # would key its own jit cache entry.
+        self._jit = jax.jit(run) if jit_fn is None else jit_fn
+
+    @property
+    def jit_fn(self):
+        return self._jit
 
     def reset(self):
         self._carry = None
 
     def __call__(self, images: np.ndarray, ids) -> Any:
         n_real = len(ids)
-        flags = np.ones(images.shape[0], bool)  # padded rows self-fuse
-        flags[:n_real] = [
-            self._flags[self._id_to_idx[int(np.asarray(i).reshape(-1)[0])]]
+        shifts = np.zeros(images.shape[0], np.int32)  # padded rows self-fuse
+        shifts[:n_real] = [
+            self._shifts[self._id_to_idx[int(np.asarray(i).reshape(-1)[0])]]
             for i in ids
         ]
         preds, self._carry = self._jit(
-            self._variables, images[..., :3], self._carry, flags
+            self._variables, images[..., :3], self._carry, shifts
         )
         return preds

@@ -119,6 +119,21 @@ class StreamExp(BaseExp):
             )
         return functools.partial(cache[mode], variables)
 
+    def get_dedup_forward_fn(self, model, variables, dataset):
+        """Sequential-dedup eval forward (one backbone pass per unique frame,
+        `eval/seq_forward.py`). The jitted seq program is cached on the exp
+        like ``get_forward_fn``'s, so the Trainer's per-epoch eval with fresh
+        EMA weights reuses the compiled executable. Requires a sequential,
+        unsharded val traversal (ONE/TWO pairing, single process)."""
+        from streamyolo_tpu.eval import SequentialDedupForward
+
+        fwd = SequentialDedupForward(
+            model, variables, dataset,
+            jit_fn=getattr(self, "_seq_forward_jit", None),
+        )
+        self._seq_forward_jit = fwd.jit_fn
+        return fwd
+
     # ---------------- data ----------------
 
     def _dataset_cls(self):

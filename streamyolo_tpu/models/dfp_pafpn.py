@@ -112,35 +112,36 @@ class DFPPAFPN(nn.Module):
         buffer: Optional[Buffer] = None,
         mode: str = "off_pipe",
         *,
-        is_self_support: Optional[jax.Array] = None,
+        support_shift: Optional[jax.Array] = None,
         train: bool = False,
     ):
         assert mode in ("off_pipe", "on_pipe", "seq")
         if mode == "seq":
             # Sequential-video batched eval: ONE backbone pass per unique
-            # frame. In dataset order, sample i's support frame is sample
-            # i-1's current frame, so its support features are the batch
-            # -shifted pafpn outputs (the previous batch's last frame rides
-            # in ``buffer``); rows flagged ``is_self_support`` (the ONE
-            # dataset's boundary rule: fid==0, sequence tail, dataset tail)
-            # self-fuse instead. Eval-only: BN uses running stats, so the
-            # outputs are identical to off_pipe's two passes at half the
-            # backbone FLOPs.
-            assert not train and is_self_support is not None
+            # frame. In dataset order, sample i's support frame is frame
+            # i - support_shift[i] (ONE pairing: shift 1, or 0 at the
+            # fid==0 / sequence-tail / dataset-tail boundaries; TWO pairing:
+            # shift 2, degrading to 1 or 0 at its boundaries), so the support
+            # features are gathered from the batch's own pafpn outputs
+            # extended with a 2-frame HBM carry of the previous batch's tail.
+            # Eval-only: BN uses running stats, so the outputs are identical
+            # to off_pipe's two passes at half the backbone FLOPs.
+            assert not train and support_shift is not None
             cur = self.pafpn(x, train=False)
-            flags = is_self_support[:, None, None, None]
-            prev = tuple(
-                jnp.concatenate(
-                    [c[:1] if buffer is None else b.astype(c.dtype), c[:-1]],
-                    axis=0,
-                )
-                for c, b in zip(cur, buffer if buffer is not None else cur)
+            carry = (
+                # First batch: duplicate frame 0 as a placeholder — real
+                # datasets give their first rows shift <= row index.
+                tuple(jnp.concatenate([c[:1], c[:1]], axis=0) for c in cur)
+                if buffer is None
+                else tuple(b.astype(c.dtype) for b, c in zip(buffer, cur))
             )
-            sup = tuple(
-                jnp.where(flags, c, p) for c, p in zip(cur, prev)
+            ext = tuple(
+                jnp.concatenate([k, c], axis=0) for k, c in zip(carry, cur)
             )
+            rows = jnp.arange(x.shape[0]) + 2 - support_shift
+            sup = tuple(e[rows] for e in ext)
             outputs = self._dfp_fuse(cur, sup, train=False)
-            return outputs, tuple(c[-1:] for c in cur)
+            return outputs, tuple(e[-2:] for e in ext)
         if mode == "off_pipe":
             if x.shape[-1] == 3:  # GFLOPs-count mode: self-duplicate
                 cur_img = sup_img = x

@@ -44,17 +44,17 @@ class StreamYOLO(nn.Module):
         buffer: Optional[Buffer] = None,
         mode: str = "off_pipe",
         *,
-        is_self_support: Optional[jax.Array] = None,
+        support_shift: Optional[jax.Array] = None,
         train: bool = False,
     ):
         assert mode in ("off_pipe", "on_pipe", "seq")
         if mode == "seq":
             # Sequential-dedup batched eval: one backbone pass per unique
-            # frame (see DFPPAFPN mode='seq'); returns the [1,...] last-frame
+            # frame (see DFPPAFPN mode='seq'); returns the [2,...] tail-frame
             # feature carry for the next batch.
             fpn_outs, buffer_ = self.backbone(
                 x, buffer=buffer, mode="seq",
-                is_self_support=is_self_support, train=False,
+                support_shift=support_shift, train=False,
             )
             outputs = self.head(fpn_outs, train=False)
             return eval_outputs(outputs, self.head.strides), buffer_

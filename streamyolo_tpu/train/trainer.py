@@ -348,7 +348,19 @@ class Trainer:
                 "params": self.state.params,
                 "batch_stats": self.state.batch_stats,
             }
-        forward_fn = self.exp.get_forward_fn(self.model, eval_variables)
+        if (
+            getattr(self.args, "dedup", False)
+            and jax.process_count() == 1
+            and getattr(self.exp, "evaluator_name", None) in ("onex", "twox")
+        ):
+            # Halve per-epoch eval backbone FLOPs (one pass per unique frame);
+            # needs the unsharded sequential val traversal, so single-process
+            # and a ONE/TWO pairing only.
+            forward_fn = self.exp.get_dedup_forward_fn(
+                self.model, eval_variables, self.evaluator.dataset
+            )
+        else:
+            forward_fn = self.exp.get_forward_fn(self.model, eval_variables)
         ap, ap50, summary = self.exp.eval(forward_fn, self.evaluator)
         self.logger.info(f"\n{summary}")
         if self.tb_writer is not None:

@@ -324,19 +324,23 @@ def test_pipeline_equality_torch_vs_jax(textured_argoverse):
     assert ap50_j == pytest.approx(ap50_t, abs=1e-9)
 
 
-def test_sequential_dedup_forward_matches_off_pipe(textured_argoverse):
-    """mode='seq' (one backbone pass per unique frame, batch-shifted support
-    features + HBM carry) reproduces the off_pipe dual-frame eval exactly —
-    including the ONE dataset's self-support boundaries and the padded tail
-    batch — at half the backbone FLOPs."""
+@pytest.mark.parametrize("pairing", ["one", "two"])
+def test_sequential_dedup_forward_matches_off_pipe(textured_argoverse, pairing):
+    """mode='seq' (one backbone pass per unique frame, shift-gathered support
+    features + 2-frame HBM carry) reproduces the off_pipe dual-frame eval
+    exactly — including each pairing's self-support boundary rules (ONE:
+    shift 1/0; TWO: shift 2/1/0 across fid==0, fid==1, and both tail rows)
+    and the padded tail batch — at half the backbone FLOPs."""
     import jax
     import jax.numpy as jnp
 
+    from streamyolo_tpu.data import TWO_ARGOVERSEDataset
     from streamyolo_tpu.eval.seq_forward import SequentialDedupForward
     from streamyolo_tpu.models import DFPPAFPN, TALHead, StreamYOLO
 
     IMG = (32, 64)
-    ds = ONE_ARGOVERSEDataset(
+    ds_cls = {"one": ONE_ARGOVERSEDataset, "two": TWO_ARGOVERSEDataset}[pairing]
+    ds = ds_cls(
         textured_argoverse, "val.json", name="val", img_size=IMG,
         preproc=DoubleValTransform(),
     )
@@ -368,3 +372,17 @@ def test_sequential_dedup_forward_matches_off_pipe(textured_argoverse):
         np.testing.assert_allclose(
             got[:n_real], want[:n_real], atol=1e-5, rtol=1e-5
         )
+
+    # The trainer's per-epoch path reuses one compiled seq program across
+    # fresh wrapper instances (fresh EMA variables each epoch): a second
+    # wrapper built on the shared jit_fn must reproduce the first epoch's
+    # first batch bit-for-bit.
+    dedup2 = SequentialDedupForward(model, variables, ds, jit_fn=dedup.jit_fn)
+    assert dedup2.jit_fn is dedup.jit_fn
+    imgs0, _, _, ids0 = next(iter(loader))
+    imgs0 = np.asarray(imgs0, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(dedup2(imgs0, ids0)),
+        np.asarray(off(variables, imgs0)),
+        atol=1e-5, rtol=1e-5,
+    )

@@ -221,13 +221,13 @@ def bench_eval_dedup(batch: int, n_samples: int, depth: float = 1.0,
     @jax.jit
     def step(v, x, carry, flags):
         preds, new_carry = model.apply(
-            v, x, buffer=carry, mode="seq", is_self_support=flags)
+            v, x, buffer=carry, mode="seq", support_shift=flags)
         return postprocess_fixed(preds, num_classes=8, conf_thre=0.01,
                                  nms_thre=0.65), new_carry
 
     frames = jax.device_put(np.random.RandomState(0).randint(
         0, 255, (batch, 600, 960, 3)).astype(np.float32))
-    flags = jax.device_put(np.zeros(batch, bool))
+    flags = jax.device_put(np.ones(batch, np.int32))
     out, carry = step(variables, frames, None, flags)  # first-batch trace
     np.asarray(out[0, 0, 0])
     out, carry = step(variables, frames, carry, flags)  # steady-state trace

@@ -139,7 +139,8 @@ def main():
 
         from streamyolo_tpu.eval import SequentialDedupForward
 
-        assert exp.evaluator_name == "onex", "--dedup needs the ONE pairing"
+        assert exp.evaluator_name in ("onex", "twox"), \
+            "--dedup needs a sequential (ONE/TWO) pairing"
         assert jax.process_count() == 1, "--dedup needs an unsharded loader"
         forward_fn = SequentialDedupForward(model, variables, evaluator.dataset)
     ap, ap50, summary = exp.eval(forward_fn, evaluator)

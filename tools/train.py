@@ -49,6 +49,10 @@ def make_parser():
                         help="logger backend: tensorboard | wandb "
                              "(wandb-* 'key value' pairs in opts configure the run)")
     parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--dedup", dest="dedup", default=False, action="store_true",
+                        help="sequential-dedup per-epoch eval: one backbone "
+                             "pass per unique frame (single process, ONE/TWO "
+                             "pairing only)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="extra 'key value' Exp overrides")
     return parser
