@@ -244,9 +244,89 @@ def space_to_depth_focus(x: jax.Array) -> jax.Array:
     return jnp.concatenate([tl, bl, tr, br], axis=-1)
 
 
+class _FocusStemConv(nn.Module):
+    """The Focus convolution applied directly to the RAW image as the
+    mathematically identical (2k)x(2k) stride-2 convolution.
+
+    Declares the SAME ``kernel`` parameter as the ``nn.Conv`` it replaces
+    (shape [k, k, 4*C, F], torch-import/checkpoint compatible) and gathers it
+    into the equivalent doubled kernel at apply time. Why: the slice-concat
+    space-to-depth plus a conv on a 12-channel map is lane-starved on TPU
+    (C=3/12 against 128-lane tiles) — measured 5.5x slower than this
+    formulation at 600x960. Exactness: with the Focus channel order
+    (tl,bl,tr,br) = (p,q) in ((0,0),(1,0),(0,1),(1,1)),
+
+      out[I,J,o] = sum_{di,dj,p,q,c} x[2(I+di-pad)+p, 2(J+dj-pad)+q, c]
+                                     * K[di, dj, (p+2q)*C + c, o]
+                 = conv2d(x, K6, stride 2, pad 2*pad),
+      K6[2di+p, 2dj+q, c, o] = K[di, dj, (p+2q)*C + c, o].
+    """
+
+    features: int
+    ksize: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        k = self.ksize
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 4 * c, self.features),
+            jnp.float32,
+        )
+        # [di, dj, (p + 2q)*C + c, o] -> [2di+p, 2dj+q, c, o]
+        k6 = kernel.reshape(k, k, 2, 2, c, self.features)  # (di, dj, q, p, c, o)
+        k6 = k6.transpose(0, 3, 1, 2, 4, 5).reshape(
+            2 * k, 2 * k, c, self.features
+        )
+        pad = 2 * ((k - 1) // 2)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k6.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k6.astype(self.dtype),
+            (2, 2),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=dn,
+        )
+
+
+class _FocusCBS(nn.Module):
+    """BaseConv twin for the Focus fast path: identical child names
+    ("conv" kernel + "bn"), conv swapped for ``_FocusStemConv``."""
+
+    out_channels: int
+    ksize: int
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = _FocusStemConv(
+            self.out_channels, self.ksize, dtype=self.dtype, name="conv"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x)
+
+
 class Focus(nn.Module):
     """Focus stem: lossless 2x downsample via space-to-depth, then conv
-    (yolox ``Focus``). Turns (B, H, W, C) into (B, H/2, W/2, out)."""
+    (yolox ``Focus``). Turns (B, H, W, C) into (B, H/2, W/2, out).
+
+    On even-sized inputs with stride 1 (every real use) this runs as the
+    equivalent (2k)x(2k) stride-2 conv on the raw image (``_FocusStemConv``);
+    the parameter tree is identical in both branches, so a model initialized
+    either way runs either way."""
 
     out_channels: int
     ksize: int = 1
@@ -256,6 +336,15 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        h, w = x.shape[-3], x.shape[-2]
+        if self.stride == 1 and h % 2 == 0 and w % 2 == 0:
+            return _FocusCBS(
+                self.out_channels,
+                self.ksize,
+                act=self.act,
+                dtype=self.dtype,
+                name="conv",
+            )(x, train=train)
         x = space_to_depth_focus(x)
         return BaseConv(
             self.out_channels,
