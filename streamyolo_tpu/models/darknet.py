@@ -26,12 +26,25 @@ from streamyolo_tpu.nn.blocks import (
     ResLayer,
     SPPBottleneck,
 )
+from streamyolo_tpu.nn.packed import (
+    PackedConvBN,
+    PackedCSPLayer,
+    PackedFocus,
+    unpack2x2,
+)
 
 
 class CSPDarknet(nn.Module):
     """YOLOX CSPDarknet. ``dep_mul``/``wid_mul`` scale depth/width exactly as
     the reference (base_channels = int(wid_mul * 64),
-    base_depth = max(round(dep_mul * 3), 1))."""
+    base_depth = max(round(dep_mul * 3), 1)).
+
+    When ``packed`` (default) and shapes allow, the narrow high-resolution
+    head of the network runs on the 2x2 phase-packed layout
+    (``streamyolo_tpu.nn.packed``): the stem when 4 * base_channels <= 192
+    (it stops paying at l width, see inline note), and the whole dark2
+    stage when 4 * base_channels <= 128 lanes. Mathematically identical,
+    identical parameter tree — purely an execution-layout choice."""
 
     dep_mul: float
     wid_mul: float
@@ -39,6 +52,7 @@ class CSPDarknet(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(
@@ -50,27 +64,64 @@ class CSPDarknet(nn.Module):
         base_channels = int(self.wid_mul * 64)
         base_depth = max(round(self.dep_mul * 3), 1)
         kw = dict(depthwise=self.depthwise, act=self.act, dtype=self.dtype)
+        pkw = dict(act=self.act, dtype=self.dtype)
+
+        h, w = x.shape[-3], x.shape[-2]
+        # Packing pays when the raw layout wastes lanes: measured, the stem
+        # pack wins 1.5x (s, 4*32=128 exact) and 1.16x (m, 4*48=192 vs 48
+        # padded 2.7x), but costs ~3% for l (4*64=256 — raw 64ch already
+        # half-fills lanes and packing doubles the contraction padding).
+        pack_stem = (
+            self.packed and not self.depthwise and h % 4 == 0 and w % 4 == 0
+            and base_channels * 4 <= 192
+        )
+        pack_dark2 = (
+            pack_stem and base_channels * 4 <= 128
+            and h % 8 == 0 and w % 8 == 0
+        )
 
         outputs: Dict[str, jax.Array] = {}
 
-        x = Focus(base_channels, ksize=3, act=self.act, dtype=self.dtype, name="stem")(
+        stem_cls = PackedFocus if pack_stem else Focus
+        x = stem_cls(base_channels, ksize=3, act=self.act, dtype=self.dtype, name="stem")(
             x, train=train
         )
-        outputs["stem"] = x
+        if "stem" in self.out_features:
+            outputs["stem"] = unpack2x2(x) if pack_stem else x
 
         # dark2: stride-2 conv + CSP(n=base_depth)
-        x = Conv(base_channels * 2, 3, 2, act=self.act, dtype=self.dtype, name="dark2_0")(
-            x, train=train
-        )
-        x = CSPLayer(base_channels * 2, n=base_depth, name="dark2_1", **kw)(
-            x, train=train
-        )
-        outputs["dark2"] = x
-
-        # dark3: stride-2 conv + CSP(n=base_depth * 3)
-        x = Conv(base_channels * 4, 3, 2, act=self.act, dtype=self.dtype, name="dark3_0")(
-            x, train=train
-        )
+        if pack_dark2:
+            x = PackedConvBN(base_channels * 2, 3, 2, name="dark2_0", **pkw)(
+                x, train=train
+            )
+            x = PackedCSPLayer(base_channels * 2, n=base_depth, name="dark2_1", **pkw)(
+                x, train=train
+            )
+            if "dark2" in self.out_features:
+                outputs["dark2"] = unpack2x2(x)
+            # dark3 entry consumes the packed features, emits raw layout
+            x = PackedConvBN(
+                base_channels * 4, 3, 2, packed_out=False, name="dark3_0", **pkw
+            )(x, train=train)
+        else:
+            if pack_stem:
+                x = PackedConvBN(
+                    base_channels * 2, 3, 2, packed_out=False, name="dark2_0", **pkw
+                )(x, train=train)
+            else:
+                x = Conv(
+                    base_channels * 2, 3, 2, act=self.act, dtype=self.dtype,
+                    name="dark2_0",
+                )(x, train=train)
+            x = CSPLayer(base_channels * 2, n=base_depth, name="dark2_1", **kw)(
+                x, train=train
+            )
+            if "dark2" in self.out_features:
+                outputs["dark2"] = x
+            x = Conv(
+                base_channels * 4, 3, 2, act=self.act, dtype=self.dtype,
+                name="dark3_0",
+            )(x, train=train)
         x = CSPLayer(base_channels * 4, n=base_depth * 3, name="dark3_1", **kw)(
             x, train=train
         )

@@ -44,6 +44,7 @@ class DFPPAFPN(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    packed: bool = True
 
     def setup(self):
         ic = self.in_channels
@@ -56,7 +57,8 @@ class DFPPAFPN(nn.Module):
         n = round(3 * self.depth)
 
         self.backbone = CSPDarknet(
-            self.depth, w, depthwise=self.depthwise, act=self.act, dtype=self.dtype
+            self.depth, w, depthwise=self.depthwise, act=self.act,
+            dtype=self.dtype, packed=self.packed,
         )
         self.lateral_conv0 = BaseConv(int(ic[1] * w), 1, 1, **kw)
         self.C3_p4 = CSPLayer(int(ic[1] * w), n=n, **csp_kw)

@@ -1,0 +1,450 @@
+"""Phase-packed (2x2 space-to-depth) execution of sub-128-channel stages.
+
+The v5e MXU/VPU tiles activations as (8 sublanes, 128 lanes): every channel
+count C < 128 is padded to 128 in both compute and HBM layout, so the
+narrow high-resolution trunk stages (32/64 channels for the s/l widths at
+600x960 — `/root/reference/exps/model/darknet.py:97-141`) pay full-lane
+memory traffic and MXU occupancy for a fraction of the useful FLOPs.
+
+This module executes those stages on a 2x2 space-to-depth *packed* layout:
+an activation (B, H, W, C) is carried as (B, H/2, W/2, 4C) using the Focus
+phase order (tl, bl, tr, br), i.e. packed channel index (p + 2q)*C + c for
+row phase p, column phase q. 4C fills the 128 lanes, quartering both the
+padded MACs and the padded HBM traffic of the narrow stages.
+
+Every conv stays MATHEMATICALLY IDENTICAL: modules declare the same
+canonical raw-layout ``kernel`` parameter as the ``nn.Conv`` they replace
+(torch-import/checkpoint compatible) and gather it at apply time into the
+equivalent kernel over packed operands — the same trick as
+``blocks._FocusStemConv``. Derivation, per spatial axis (they separate):
+
+  raw:     y[m] = sum_i x[stride*m + i - pad] * K[i]
+  packed:  x[r] = xp[r // 2, r mod 2]   and/or   y[m] = yp[m // 2, m mod 2]
+
+Substituting m = 2M + h (packed output phase h) and r = 2R + g (packed
+input phase g) turns the raw conv into a conv over packed coordinates with
+stride' = stride * (2 if packed_out else 1) / (2 if packed_in else 1) and a
+gathered kernel K'[u, g, h] = K[i] where the integer tap algebra (built
+once in numpy by ``_axis_plan``) decides which (u, g, h, i) combinations
+are live. BatchNorm commutes with packing (the per-channel value multiset
+is unchanged); ``PackedBatchNorm`` computes the raw moments on the packed
+layout and keeps flax ``BatchNorm``'s exact variable layout.
+
+Used by ``models.darknet.CSPDarknet``: the stem always emits packed
+features when shapes allow, and the whole dark2 stage stays packed when
+4 * base_channels <= 128 (width <= 0.50). Measured win documented in
+README.md's roofline section.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from streamyolo_tpu.nn.blocks import BN_EPS, BN_MOMENTUM, get_activation
+
+
+def pack2x2(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), Focus phase order (p + 2q)*C + c."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)  # (b, I, p, J, q, c)
+    y = y.transpose(0, 1, 3, 4, 2, 5)  # (b, I, J, q, p, c)
+    return y.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpack2x2(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack2x2`."""
+    b, hp, wp, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(b, hp, wp, 2, 2, c)  # (b, I, J, q, p, c)
+    y = y.transpose(0, 1, 4, 2, 3, 5)  # (b, I, p, J, q, c)
+    return y.reshape(b, 2 * hp, 2 * wp, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_plan(
+    k: int, stride: int, pad: int, packed_in: bool, packed_out: bool
+) -> Tuple[np.ndarray, int, int]:
+    """1-D tap algebra: selection tensor S[u, g, h, i] (1.0 where the packed
+    kernel position u, input phase g, output phase h takes raw tap i), plus
+    (stride_eff, pad_lo_eff) for the packed-coordinate convolution."""
+    gs = 2 if packed_in else 1
+    hs = 2 if packed_out else 1
+    # raw input index r = A*M + c0 with A the M-coefficient; its parity must
+    # not depend on M for packed_in to be well defined.
+    a_coef = stride * (2 if packed_out else 1)
+    if packed_in:
+        if a_coef % 2:
+            raise ValueError(
+                f"unsupported packed conv: k={k} stride={stride} "
+                f"packed_in={packed_in} packed_out={packed_out}"
+            )
+        stride_eff = a_coef // 2
+    else:
+        stride_eff = a_coef
+    entries = []  # (shift, g, h, i)
+    for h in range(hs):
+        for i in range(k):
+            c0 = stride * h + i - pad
+            if packed_in:
+                g = c0 % 2
+                entries.append(((c0 - g) // 2, g, h, i))
+            else:
+                entries.append((c0, 0, h, i))
+    pad_lo = -min(e[0] for e in entries)
+    u_size = max(e[0] for e in entries) + pad_lo + 1
+    s = np.zeros((u_size, gs, hs, k), np.float32)
+    for shift, g, h, i in entries:
+        s[shift + pad_lo, g, h, i] = 1.0
+    return s, stride_eff, pad_lo
+
+
+def _gather_kernel(
+    kernel: jax.Array,
+    stride: int,
+    pad: int,
+    packed_in: bool,
+    packed_out: bool,
+) -> Tuple[jax.Array, int, int]:
+    """Gather raw K[kh, kw, C, F] into the packed-coordinate kernel
+    K'[U, V, G*C, H*F]; returns (K', stride_eff, pad_lo)."""
+    kh, kw, c, f = kernel.shape
+    sr, stride_eff, pad_lo = _axis_plan(kh, stride, pad, packed_in, packed_out)
+    sc, _, _ = _axis_plan(kw, stride, pad, packed_in, packed_out)
+    # channel order (p + 2q)*C + c == flatten of (q, p, c); ditto outputs.
+    k_eff = jnp.einsum("upri,vqsj,ijcf->uvqpcsrf", sr, sc, kernel)
+    u, v = sr.shape[0], sc.shape[0]
+    gs = sr.shape[1] * sc.shape[1]
+    hs = sr.shape[2] * sc.shape[2]
+    return k_eff.reshape(u, v, gs * c, hs * f), stride_eff, pad_lo
+
+
+def concat_perm(channels: Sequence[int]) -> Tuple[int, ...]:
+    """Channel permutation describing a concatenation of packed arrays.
+
+    ``jnp.concatenate`` of packed tensors with raw widths ``channels`` puts
+    actual channel a at logical packed position perm[a] of the packed
+    concat; a downstream :class:`PhaseConv` re-gathers its kernel with this
+    so no activation relayout is ever executed."""
+    total = sum(channels)
+    perm = []
+    base = 0
+    for width in channels:
+        for g in range(4):
+            for c in range(width):
+                perm.append(g * total + base + c)
+        base += width
+    return tuple(perm)
+
+
+def phase_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: int,
+    pad: int,
+    packed_in: bool,
+    packed_out: bool,
+    dtype: Any,
+    in_perm: Optional[Tuple[int, ...]] = None,
+) -> jax.Array:
+    """Apply the raw conv (kernel, stride, symmetric low pad ``pad``) over
+    packed operands, reproducing the raw ``nn.Conv`` output geometry
+    (per-axis raw output length = ceil(raw_in / stride))."""
+    k_eff, stride_eff, pad_lo = _gather_kernel(
+        kernel, stride, pad, packed_in, packed_out
+    )
+    if in_perm is not None:
+        k_eff = k_eff[:, :, np.asarray(in_perm, np.int32), :]
+    # solve the high-side padding that makes the packed conv produce exactly
+    # the raw geometry.
+    out_hw = []
+    pad_hw = []
+    for axis in (-3, -2):
+        n_in = x.shape[axis]
+        raw_in = n_in * (2 if packed_in else 1)
+        raw_out = -(-raw_in // stride)
+        n_out = raw_out // 2 if packed_out else raw_out
+        pad_hi = (n_out - 1) * stride_eff + k_eff.shape[axis + 3] \
+            - pad_lo - n_in
+        out_hw.append(n_out)
+        pad_hw.append((pad_lo, pad_hi))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k_eff.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        k_eff.astype(dtype),
+        (stride_eff, stride_eff),
+        pad_hw,
+        dimension_numbers=dn,
+    )
+    assert y.shape[-3:-1] == tuple(out_hw), (y.shape, out_hw)
+    return y
+
+
+class PhaseConv(nn.Module):
+    """Bias-free conv over phase-packed activations. Declares the canonical
+    raw-layout ``kernel`` [k, k, Cin, F] (identical to the ``nn.Conv`` it
+    replaces) and applies the gathered packed-coordinate kernel."""
+
+    features: int
+    ksize: int
+    stride: int = 1
+    packed_in: bool = True
+    packed_out: bool = True
+    in_perm: Optional[Tuple[int, ...]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1] // (4 if self.packed_in else 1)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, c_in, self.features),
+            jnp.float32,
+        )
+        return phase_conv(
+            x,
+            kernel,
+            stride=self.stride,
+            pad=(self.ksize - 1) // 2,
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
+            dtype=self.dtype,
+            in_perm=self.in_perm,
+        )
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over packed activations with flax ``BatchNorm``'s variable
+    layout (params scale/bias, batch_stats mean/var, all shape [C]).
+
+    Exact because packing permutes, never mixes, the per-channel value
+    multiset: batch moments are reduced over (B, H', W') *and* the four
+    phase groups, reproducing the raw-layout moments."""
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        c = x.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x.astype(jnp.float32)
+            m4 = jnp.mean(xf, axis=(0, 1, 2)).reshape(4, c)
+            sq4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2)).reshape(4, c)
+            mean = m4.mean(axis=0)
+            var = sq4.mean(axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        mul4 = jnp.tile(mul, 4).astype(self.dtype)
+        add4 = jnp.tile(add, 4).astype(self.dtype)
+        return x.astype(self.dtype) * mul4 + add4
+
+
+class PackedConvBN(nn.Module):
+    """``BaseConv`` twin on packed activations: identical child names
+    ("conv" kernel + "bn"), conv swapped for :class:`PhaseConv` and BN for
+    :class:`PackedBatchNorm` when the output stays packed."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    act: str = "silu"
+    packed_in: bool = True
+    packed_out: bool = True
+    in_perm: Optional[Tuple[int, ...]] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = PhaseConv(
+            self.out_channels,
+            self.ksize,
+            self.stride,
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
+            in_perm=self.in_perm,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.packed_out:
+            x = PackedBatchNorm(dtype=self.dtype, name="bn")(x, train=train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        return get_activation(self.act)(x)
+
+
+class PackedBottleneck(nn.Module):
+    """``Bottleneck`` twin, fully packed (child names conv1/conv2)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        in_channels = x.shape[-1] // 4
+        hidden = int(self.out_channels * self.expansion)
+        y = PackedConvBN(
+            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1"
+        )(x, train=train)
+        y = PackedConvBN(
+            self.out_channels, 3, 1, act=self.act, dtype=self.dtype, name="conv2"
+        )(y, train=train)
+        if self.shortcut and in_channels == self.out_channels:
+            y = y + x
+        return y
+
+
+class PackedCSPLayer(nn.Module):
+    """``CSPLayer`` twin, fully packed. The branch concat happens in packed
+    layout; conv3 absorbs the resulting channel interleave through
+    ``in_perm`` (a kernel gather, not an activation relayout)."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        hidden = int(self.out_channels * self.expansion)
+        x1 = PackedConvBN(
+            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1"
+        )(x, train=train)
+        x2 = PackedConvBN(
+            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2"
+        )(x, train=train)
+        for i in range(self.n):
+            x1 = PackedBottleneck(
+                hidden,
+                shortcut=self.shortcut,
+                expansion=1.0,
+                act=self.act,
+                dtype=self.dtype,
+                name=f"m_{i}",
+            )(x1, train=train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return PackedConvBN(
+            self.out_channels,
+            1,
+            1,
+            act=self.act,
+            dtype=self.dtype,
+            in_perm=concat_perm((hidden, hidden)),
+            name="conv3",
+        )(x, train=train)
+
+
+class _PackedFocusConv(nn.Module):
+    """``blocks._FocusStemConv`` twin emitting PACKED output: declares the
+    same canonical ``kernel`` [k, k, 4C, F], gathers it first into the raw
+    (2k)x(2k) stride-2 image kernel, then phase-packs the output — the stem
+    becomes one dense (2k+2)x(2k+2) stride-4 conv raw image -> (H/4, W/4, 4F)."""
+
+    features: int
+    ksize: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        k = self.ksize
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 4 * c, self.features),
+            jnp.float32,
+        )
+        # [di, dj, (p + 2q)*C + c, o] -> raw K2k[2di+p, 2dj+q, c, o]
+        k2k = kernel.reshape(k, k, 2, 2, c, self.features)  # (di, dj, q, p, c, o)
+        k2k = k2k.transpose(0, 3, 1, 2, 4, 5).reshape(
+            2 * k, 2 * k, c, self.features
+        )
+        return phase_conv(
+            x,
+            k2k,
+            stride=2,
+            pad=2 * ((k - 1) // 2),
+            packed_in=False,
+            packed_out=True,
+            dtype=self.dtype,
+        )
+
+
+class _PackedFocusCBS(nn.Module):
+    """``blocks._FocusCBS`` twin with packed output (child names "conv"/"bn")."""
+
+    out_channels: int
+    ksize: int
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = _PackedFocusConv(
+            self.out_channels, self.ksize, dtype=self.dtype, name="conv"
+        )(x)
+        x = PackedBatchNorm(dtype=self.dtype, name="bn")(x, train=train)
+        return get_activation(self.act)(x)
+
+
+class PackedFocus(nn.Module):
+    """``blocks.Focus`` twin producing phase-packed stem features
+    (B, H/4, W/4, 4*out). Identical parameter tree; requires H, W % 4 == 0
+    and stride 1 (the caller gates on this)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        assert self.stride == 1, "PackedFocus supports stride 1 only"
+        assert x.shape[-3] % 4 == 0 and x.shape[-2] % 4 == 0, x.shape
+        return _PackedFocusCBS(
+            self.out_channels,
+            self.ksize,
+            act=self.act,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train=train)
