@@ -63,7 +63,10 @@ class CSPDarknet(nn.Module):
 
         base_channels = int(self.wid_mul * 64)
         base_depth = max(round(self.dep_mul * 3), 1)
-        kw = dict(depthwise=self.depthwise, act=self.act, dtype=self.dtype)
+        kw = dict(
+            depthwise=self.depthwise, act=self.act, dtype=self.dtype,
+            packed=self.packed,
+        )
         pkw = dict(act=self.act, dtype=self.dtype)
 
         h, w = x.shape[-3], x.shape[-2]

@@ -52,7 +52,8 @@ class DFPPAFPN(nn.Module):
         Conv = DWConv if self.depthwise else BaseConv
         kw = dict(act=self.act, dtype=self.dtype)
         csp_kw = dict(
-            shortcut=False, depthwise=self.depthwise, act=self.act, dtype=self.dtype
+            shortcut=False, depthwise=self.depthwise, act=self.act,
+            dtype=self.dtype, packed=self.packed,
         )
         n = round(3 * self.depth)
 

@@ -168,6 +168,14 @@ class ResLayer(nn.Module):
 class CSPLayer(nn.Module):
     """Cross-Stage-Partial layer: two 1x1 branches, ``n`` bottlenecks on one,
     concat, 1x1 fuse (yolox ``CSPLayer`` / "C3").
+
+    When ``packed`` (default) and the hidden width is sub-64-lane on an
+    even-W feature map, the internals execute W-packed (factor 2) via
+    ``streamyolo_tpu.nn.packed.PackedCSPLayer``: raw input/output, same
+    parameter tree, mathematically identical — the hidden 64-channel
+    branches (which raw layout pads 2x to 128 lanes) run dense. This is
+    what accelerates dark3/C3_p3/C3_p4/C3_n3 for the s width and dark2 for
+    the m/l widths at 600x960.
     """
 
     out_channels: int
@@ -177,10 +185,42 @@ class CSPLayer(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     dtype: Any = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         hidden = int(self.out_channels * self.expansion)
+        if (
+            self.packed
+            and not self.depthwise
+            and 1 <= hidden <= 64
+            and x.shape[-2] % 2 == 0
+        ):
+            from streamyolo_tpu.nn import packed as pk
+
+            w_axes = (False, True)
+            x1 = pk.PackedConvBN(
+                hidden, 1, 1, act=self.act, packed_in=False,
+                packed_out=w_axes, dtype=self.dtype, name="conv1",
+            )(x, train=train)
+            x2 = pk.PackedConvBN(
+                hidden, 1, 1, act=self.act, packed_in=False,
+                packed_out=w_axes, dtype=self.dtype, name="conv2",
+            )(x, train=train)
+            for i in range(self.n):
+                x1 = pk.PackedBottleneck(
+                    hidden, shortcut=self.shortcut, expansion=1.0,
+                    act=self.act, axes=w_axes, dtype=self.dtype,
+                    name=f"m_{i}",
+                )(x1, train=train)
+            xc = jnp.concatenate([x1, x2], axis=-1)
+            y = pk.PackedConvBN(
+                self.out_channels, 1, 1, act=self.act, packed_in=w_axes,
+                packed_out=w_axes,
+                in_perm=pk.concat_perm((hidden, hidden), groups=2),
+                dtype=self.dtype, name="conv3",
+            )(xc, train=train)
+            return pk.unpack_w(y)
         x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
             x, train=train
         )

@@ -49,6 +49,19 @@ from flax import linen as nn
 from streamyolo_tpu.nn.blocks import BN_EPS, BN_MOMENTUM, get_activation
 
 
+def _pair(flag) -> Tuple[bool, bool]:
+    """Normalize a per-axis pack spec: bool -> (flag, flag)."""
+    if isinstance(flag, (tuple, list)):
+        return (bool(flag[0]), bool(flag[1]))
+    return (bool(flag), bool(flag))
+
+
+def _factor(flag) -> int:
+    """Channel multiplication factor of a pack spec (1, 2, or 4)."""
+    ph, pw = _pair(flag)
+    return (2 if ph else 1) * (2 if pw else 1)
+
+
 def pack2x2(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H/2, W/2, 4C), Focus phase order (p + 2q)*C + c."""
     b, h, w, c = x.shape
@@ -64,6 +77,20 @@ def unpack2x2(x: jax.Array) -> jax.Array:
     y = x.reshape(b, hp, wp, 2, 2, c)  # (b, I, J, q, p, c)
     y = y.transpose(0, 1, 4, 2, 3, 5)  # (b, I, p, J, q, c)
     return y.reshape(b, 2 * hp, 2 * wp, c)
+
+
+def pack_w(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/2, 2C): W-only packing, channel index
+    q*C + c. A pure row-major reshape — no data movement at the logical
+    level (the physical relayout to dense lanes is the point)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def unpack_w(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_w` (pure reshape)."""
+    b, h, wp, c2 = x.shape
+    return x.reshape(b, h, 2 * wp, c2 // 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,24 +135,33 @@ def _gather_kernel(
     kernel: jax.Array,
     stride: int,
     pad: int,
-    packed_in: bool,
-    packed_out: bool,
-) -> Tuple[jax.Array, int, int]:
+    packed_in,
+    packed_out,
+) -> Tuple[jax.Array, Tuple[int, int], Tuple[int, int]]:
     """Gather raw K[kh, kw, C, F] into the packed-coordinate kernel
-    K'[U, V, G*C, H*F]; returns (K', stride_eff, pad_lo)."""
+    K'[U, V, G*C, H*F]; returns (K', per-axis stride_eff, per-axis pad_lo).
+    ``packed_in``/``packed_out`` are per-axis (H, W) pack specs — bool or
+    2-tuple — so W-only (factor 2) packing uses the same algebra with the
+    row-phase axis collapsed to size 1."""
+    pin, pout = _pair(packed_in), _pair(packed_out)
     kh, kw, c, f = kernel.shape
-    sr, stride_eff, pad_lo = _axis_plan(kh, stride, pad, packed_in, packed_out)
-    sc, _, _ = _axis_plan(kw, stride, pad, packed_in, packed_out)
-    # channel order (p + 2q)*C + c == flatten of (q, p, c); ditto outputs.
+    sr, stride_r, pad_r = _axis_plan(kh, stride, pad, pin[0], pout[0])
+    sc, stride_c, pad_c = _axis_plan(kw, stride, pad, pin[1], pout[1])
+    # channel order (p + P*q)*C + c == flatten of (q, p, c); ditto outputs.
     k_eff = jnp.einsum("upri,vqsj,ijcf->uvqpcsrf", sr, sc, kernel)
     u, v = sr.shape[0], sc.shape[0]
     gs = sr.shape[1] * sc.shape[1]
     hs = sr.shape[2] * sc.shape[2]
-    return k_eff.reshape(u, v, gs * c, hs * f), stride_eff, pad_lo
+    return (
+        k_eff.reshape(u, v, gs * c, hs * f),
+        (stride_r, stride_c),
+        (pad_r, pad_c),
+    )
 
 
-def concat_perm(channels: Sequence[int]) -> Tuple[int, ...]:
-    """Channel permutation describing a concatenation of packed arrays.
+def concat_perm(channels: Sequence[int], groups: int = 4) -> Tuple[int, ...]:
+    """Channel permutation describing a concatenation of packed arrays
+    (``groups`` = pack factor, 4 for 2x2 and 2 for W-only).
 
     ``jnp.concatenate`` of packed tensors with raw widths ``channels`` puts
     actual channel a at logical packed position perm[a] of the packed
@@ -135,7 +171,7 @@ def concat_perm(channels: Sequence[int]) -> Tuple[int, ...]:
     perm = []
     base = 0
     for width in channels:
-        for g in range(4):
+        for g in range(groups):
             for c in range(width):
                 perm.append(g * total + base + c)
         base += width
@@ -155,9 +191,11 @@ def phase_conv(
 ) -> jax.Array:
     """Apply the raw conv (kernel, stride, symmetric low pad ``pad``) over
     packed operands, reproducing the raw ``nn.Conv`` output geometry
-    (per-axis raw output length = ceil(raw_in / stride))."""
+    (per-axis raw output length = ceil(raw_in / stride)). Pack specs are
+    per-axis (bool or (H, W) tuple)."""
+    pin, pout = _pair(packed_in), _pair(packed_out)
     k_eff, stride_eff, pad_lo = _gather_kernel(
-        kernel, stride, pad, packed_in, packed_out
+        kernel, stride, pad, pin, pout
     )
     if in_perm is not None:
         k_eff = k_eff[:, :, np.asarray(in_perm, np.int32), :]
@@ -165,22 +203,22 @@ def phase_conv(
     # the raw geometry.
     out_hw = []
     pad_hw = []
-    for axis in (-3, -2):
+    for i, axis in enumerate((-3, -2)):
         n_in = x.shape[axis]
-        raw_in = n_in * (2 if packed_in else 1)
+        raw_in = n_in * (2 if pin[i] else 1)
         raw_out = -(-raw_in // stride)
-        n_out = raw_out // 2 if packed_out else raw_out
-        pad_hi = (n_out - 1) * stride_eff + k_eff.shape[axis + 3] \
-            - pad_lo - n_in
+        n_out = raw_out // 2 if pout[i] else raw_out
+        pad_hi = (n_out - 1) * stride_eff[i] + k_eff.shape[axis + 3] \
+            - pad_lo[i] - n_in
         out_hw.append(n_out)
-        pad_hw.append((pad_lo, pad_hi))
+        pad_hw.append((pad_lo[i], pad_hi))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, k_eff.shape, ("NHWC", "HWIO", "NHWC")
     )
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         k_eff.astype(dtype),
-        (stride_eff, stride_eff),
+        stride_eff,
         pad_hw,
         dimension_numbers=dn,
     )
@@ -196,14 +234,14 @@ class PhaseConv(nn.Module):
     features: int
     ksize: int
     stride: int = 1
-    packed_in: bool = True
-    packed_out: bool = True
+    packed_in: Any = True
+    packed_out: Any = True
     in_perm: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        c_in = x.shape[-1] // (4 if self.packed_in else 1)
+        c_in = x.shape[-1] // _factor(self.packed_in)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -227,16 +265,17 @@ class PackedBatchNorm(nn.Module):
     layout (params scale/bias, batch_stats mean/var, all shape [C]).
 
     Exact because packing permutes, never mixes, the per-channel value
-    multiset: batch moments are reduced over (B, H', W') *and* the four
-    phase groups, reproducing the raw-layout moments."""
+    multiset: batch moments are reduced over (B, H', W') *and* the
+    ``groups`` phase groups, reproducing the raw-layout moments."""
 
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    groups: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        c = x.shape[-1] // 4
+        c = x.shape[-1] // self.groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable(
@@ -247,8 +286,8 @@ class PackedBatchNorm(nn.Module):
         )
         if train:
             xf = x.astype(jnp.float32)
-            m4 = jnp.mean(xf, axis=(0, 1, 2)).reshape(4, c)
-            sq4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2)).reshape(4, c)
+            m4 = jnp.mean(xf, axis=(0, 1, 2)).reshape(self.groups, c)
+            sq4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2)).reshape(self.groups, c)
             mean = m4.mean(axis=0)
             var = sq4.mean(axis=0) - jnp.square(mean)
             if not self.is_initializing():
@@ -262,8 +301,8 @@ class PackedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
-        mul4 = jnp.tile(mul, 4).astype(self.dtype)
-        add4 = jnp.tile(add, 4).astype(self.dtype)
+        mul4 = jnp.tile(mul, self.groups).astype(self.dtype)
+        add4 = jnp.tile(add, self.groups).astype(self.dtype)
         return x.astype(self.dtype) * mul4 + add4
 
 
@@ -276,8 +315,8 @@ class PackedConvBN(nn.Module):
     ksize: int
     stride: int = 1
     act: str = "silu"
-    packed_in: bool = True
-    packed_out: bool = True
+    packed_in: Any = True
+    packed_out: Any = True
     in_perm: Optional[Tuple[int, ...]] = None
     dtype: Any = jnp.float32
 
@@ -293,8 +332,11 @@ class PackedConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.packed_out:
-            x = PackedBatchNorm(dtype=self.dtype, name="bn")(x, train=train)
+        out_factor = _factor(self.packed_out)
+        if out_factor > 1:
+            x = PackedBatchNorm(
+                groups=out_factor, dtype=self.dtype, name="bn"
+            )(x, train=train)
         else:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -308,49 +350,74 @@ class PackedConvBN(nn.Module):
 
 
 class PackedBottleneck(nn.Module):
-    """``Bottleneck`` twin, fully packed (child names conv1/conv2)."""
+    """``Bottleneck`` twin, packed on ``axes`` (child names conv1/conv2)."""
 
     out_channels: int
     shortcut: bool = True
     expansion: float = 0.5
     act: str = "silu"
+    axes: Any = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        in_channels = x.shape[-1] // 4
+        in_channels = x.shape[-1] // _factor(self.axes)
         hidden = int(self.out_channels * self.expansion)
         y = PackedConvBN(
-            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1"
+            hidden, 1, 1, act=self.act, packed_in=self.axes,
+            packed_out=self.axes, dtype=self.dtype, name="conv1",
         )(x, train=train)
         y = PackedConvBN(
-            self.out_channels, 3, 1, act=self.act, dtype=self.dtype, name="conv2"
+            self.out_channels, 3, 1, act=self.act, packed_in=self.axes,
+            packed_out=self.axes, dtype=self.dtype, name="conv2",
         )(y, train=train)
         if self.shortcut and in_channels == self.out_channels:
             y = y + x
         return y
 
 
+def unpack(x: jax.Array, axes) -> jax.Array:
+    """Undo the packing described by ``axes``."""
+    ph, pw = _pair(axes)
+    if ph and pw:
+        return unpack2x2(x)
+    if pw:
+        return unpack_w(x)
+    assert not ph, "H-only packing is not used"
+    return x
+
+
 class PackedCSPLayer(nn.Module):
-    """``CSPLayer`` twin, fully packed. The branch concat happens in packed
-    layout; conv3 absorbs the resulting channel interleave through
-    ``in_perm`` (a kernel gather, not an activation relayout)."""
+    """``CSPLayer`` twin packed on ``axes``. The branch concat happens in
+    packed layout; conv3 absorbs the resulting channel interleave through
+    ``in_perm`` (a kernel gather, not an activation relayout).
+
+    ``packed_io=True`` (darknet dark2): input and output are packed on
+    ``axes``. ``packed_io=False`` (the W-only fast path inside
+    ``blocks.CSPLayer``): raw input and output — conv1/conv2 fuse the
+    packing into their 1x1s at no extra MXU cost, and the conv3 output is
+    unpacked (for W-only, a pure reshape)."""
 
     out_channels: int
     n: int = 1
     shortcut: bool = True
     expansion: float = 0.5
     act: str = "silu"
+    axes: Any = True
+    packed_io: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         hidden = int(self.out_channels * self.expansion)
+        packed_in = self.axes if self.packed_io else False
         x1 = PackedConvBN(
-            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1"
+            hidden, 1, 1, act=self.act, packed_in=packed_in,
+            packed_out=self.axes, dtype=self.dtype, name="conv1",
         )(x, train=train)
         x2 = PackedConvBN(
-            hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2"
+            hidden, 1, 1, act=self.act, packed_in=packed_in,
+            packed_out=self.axes, dtype=self.dtype, name="conv2",
         )(x, train=train)
         for i in range(self.n):
             x1 = PackedBottleneck(
@@ -358,19 +425,23 @@ class PackedCSPLayer(nn.Module):
                 shortcut=self.shortcut,
                 expansion=1.0,
                 act=self.act,
+                axes=self.axes,
                 dtype=self.dtype,
                 name=f"m_{i}",
             )(x1, train=train)
         x = jnp.concatenate([x1, x2], axis=-1)
-        return PackedConvBN(
+        y = PackedConvBN(
             self.out_channels,
             1,
             1,
             act=self.act,
+            packed_in=self.axes,
+            packed_out=self.axes,
             dtype=self.dtype,
-            in_perm=concat_perm((hidden, hidden)),
+            in_perm=concat_perm((hidden, hidden), groups=_factor(self.axes)),
             name="conv3",
         )(x, train=train)
+        return y if self.packed_io else unpack(y, self.axes)
 
 
 class _PackedFocusConv(nn.Module):

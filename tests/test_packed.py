@@ -132,6 +132,9 @@ def test_packed_darknet_matches_raw_train_stats_and_grads():
 
 
 def test_packed_falls_back_on_indivisible_shapes():
+    """2x2 packing needs H,W % 8 == 0; on indivisible shapes the model
+    still runs (stem/dark2 fall back to raw; W-only packing may still
+    engage on even-W stages) and matches the raw layout."""
     packed, raw = _darknet_pair(0.5, out_features=("dark3",))
     x = jnp.asarray(
         np.random.RandomState(3).randn(1, 50, 70, 3).astype(np.float32)
@@ -139,6 +142,7 @@ def test_packed_falls_back_on_indivisible_shapes():
     variables = raw.init(jax.random.PRNGKey(0), x, train=False)
     out_p = packed.apply(variables, x, train=False)
     out_r = raw.apply(variables, x, train=False)
-    np.testing.assert_array_equal(
-        np.asarray(out_p["dark3"]), np.asarray(out_r["dark3"])
+    np.testing.assert_allclose(
+        np.asarray(out_p["dark3"]), np.asarray(out_r["dark3"]),
+        rtol=1e-4, atol=1e-4,
     )
