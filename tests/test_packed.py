@@ -9,7 +9,23 @@ import numpy as np
 import pytest
 
 from streamyolo_tpu.models.darknet import CSPDarknet
-from streamyolo_tpu.nn.packed import pack2x2, phase_conv, unpack2x2
+from streamyolo_tpu.nn.packed import (
+    pack2x2,
+    pack_w,
+    phase_conv,
+    unpack,
+    unpack2x2,
+)
+
+
+def _apply_pack(x, spec):
+    ph, pw = (spec, spec) if isinstance(spec, bool) else spec
+    if ph and pw:
+        return pack2x2(x)
+    if pw:
+        return pack_w(x)
+    assert not ph
+    return x
 
 
 def _tree_allclose(a, b, rtol, atol_scale):
@@ -41,6 +57,11 @@ def test_pack_unpack_roundtrip():
         (3, 1, True, True),
         (3, 2, True, False),
         (3, 2, True, True),
+        # W-only (factor 2) packing
+        (1, 1, False, (False, True)),
+        (1, 1, (False, True), (False, True)),
+        (3, 1, (False, True), (False, True)),
+        (3, 2, (False, True), False),
     ],
 )
 def test_phase_conv_matches_raw_conv(ksize, stride, packed_in, packed_out):
@@ -59,7 +80,7 @@ def test_phase_conv_matches_raw_conv(ksize, stride, packed_in, packed_out):
             x.shape, k.shape, ("NHWC", "HWIO", "NHWC")
         ),
     )
-    xin = pack2x2(jnp.asarray(x)) if packed_in else jnp.asarray(x)
+    xin = _apply_pack(jnp.asarray(x), packed_in)
     out = phase_conv(
         xin,
         jnp.asarray(k),
@@ -69,8 +90,7 @@ def test_phase_conv_matches_raw_conv(ksize, stride, packed_in, packed_out):
         packed_out=packed_out,
         dtype=jnp.float32,
     )
-    if packed_out:
-        out = unpack2x2(out)
+    out = unpack(out, packed_out)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
