@@ -169,13 +169,14 @@ class CSPLayer(nn.Module):
     """Cross-Stage-Partial layer: two 1x1 branches, ``n`` bottlenecks on one,
     concat, 1x1 fuse (yolox ``CSPLayer`` / "C3").
 
-    When ``packed`` (default) and the hidden width is sub-64-lane on an
+    When ``packed`` (default) and the hidden width is <= 64 channels on an
     even-W feature map, the internals execute W-packed (factor 2) via
-    ``streamyolo_tpu.nn.packed.PackedCSPLayer``: raw input/output, same
-    parameter tree, mathematically identical — the hidden 64-channel
-    branches (which raw layout pads 2x to 128 lanes) run dense. This is
-    what accelerates dark3/C3_p3/C3_p4/C3_n3 for the s width and dark2 for
-    the m/l widths at 600x960.
+    ``streamyolo_tpu.nn.packed.csp_packed_body``: raw input/output, same
+    parameter tree, mathematically identical — the hidden branches (which
+    raw layout pads 2x to 128 lanes) run dense. At 600x960 this engages on
+    dark3_1 and C3_p3 for the s width (hidden 64) and on dark2_1 for the
+    m/l widths (hidden 48/64); wider CSPs (hidden >= 96) keep the raw
+    layout.
     """
 
     out_channels: int
@@ -198,28 +199,18 @@ class CSPLayer(nn.Module):
         ):
             from streamyolo_tpu.nn import packed as pk
 
-            w_axes = (False, True)
-            x1 = pk.PackedConvBN(
-                hidden, 1, 1, act=self.act, packed_in=False,
-                packed_out=w_axes, dtype=self.dtype, name="conv1",
-            )(x, train=train)
-            x2 = pk.PackedConvBN(
-                hidden, 1, 1, act=self.act, packed_in=False,
-                packed_out=w_axes, dtype=self.dtype, name="conv2",
-            )(x, train=train)
-            for i in range(self.n):
-                x1 = pk.PackedBottleneck(
-                    hidden, shortcut=self.shortcut, expansion=1.0,
-                    act=self.act, axes=w_axes, dtype=self.dtype,
-                    name=f"m_{i}",
-                )(x1, train=train)
-            xc = jnp.concatenate([x1, x2], axis=-1)
-            y = pk.PackedConvBN(
-                self.out_channels, 1, 1, act=self.act, packed_in=w_axes,
-                packed_out=w_axes,
-                in_perm=pk.concat_perm((hidden, hidden), groups=2),
-                dtype=self.dtype, name="conv3",
-            )(xc, train=train)
+            y = pk.csp_packed_body(
+                x,
+                out_channels=self.out_channels,
+                n=self.n,
+                shortcut=self.shortcut,
+                expansion=self.expansion,
+                act=self.act,
+                axes=(False, True),
+                packed_input=False,
+                dtype=self.dtype,
+                train=train,
+            )
             return pk.unpack_w(y)
         x1 = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(
             x, train=train

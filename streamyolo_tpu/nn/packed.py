@@ -387,16 +387,66 @@ def unpack(x: jax.Array, axes) -> jax.Array:
     return x
 
 
-class PackedCSPLayer(nn.Module):
-    """``CSPLayer`` twin packed on ``axes``. The branch concat happens in
-    packed layout; conv3 absorbs the resulting channel interleave through
-    ``in_perm`` (a kernel gather, not an activation relayout).
+def csp_packed_body(
+    x: jax.Array,
+    *,
+    out_channels: int,
+    n: int,
+    shortcut: bool,
+    expansion: float,
+    act: str,
+    axes,
+    packed_input,
+    dtype,
+    train: bool,
+) -> jax.Array:
+    """The packed CSP computation, shared by :class:`PackedCSPLayer` and
+    the W-only fast path inside ``blocks.CSPLayer``. Must be called inside
+    an ``@nn.compact`` ``__call__`` — children (conv1/conv2/m_i/conv3) are
+    created in the CALLER's scope, so both hosts declare the identical
+    parameter tree. The branch concat happens in packed layout; conv3
+    absorbs the channel interleave through ``in_perm`` (a kernel gather,
+    not an activation relayout). Returns the conv3 output still packed on
+    ``axes``; ``packed_input`` says whether ``x`` already is."""
+    hidden = int(out_channels * expansion)
+    packed_in = axes if packed_input else False
+    x1 = PackedConvBN(
+        hidden, 1, 1, act=act, packed_in=packed_in,
+        packed_out=axes, dtype=dtype, name="conv1",
+    )(x, train=train)
+    x2 = PackedConvBN(
+        hidden, 1, 1, act=act, packed_in=packed_in,
+        packed_out=axes, dtype=dtype, name="conv2",
+    )(x, train=train)
+    for i in range(n):
+        x1 = PackedBottleneck(
+            hidden,
+            shortcut=shortcut,
+            expansion=1.0,
+            act=act,
+            axes=axes,
+            dtype=dtype,
+            name=f"m_{i}",
+        )(x1, train=train)
+    x = jnp.concatenate([x1, x2], axis=-1)
+    return PackedConvBN(
+        out_channels,
+        1,
+        1,
+        act=act,
+        packed_in=axes,
+        packed_out=axes,
+        dtype=dtype,
+        in_perm=concat_perm((hidden, hidden), groups=_factor(axes)),
+        name="conv3",
+    )(x, train=train)
 
-    ``packed_io=True`` (darknet dark2): input and output are packed on
-    ``axes``. ``packed_io=False`` (the W-only fast path inside
-    ``blocks.CSPLayer``): raw input and output — conv1/conv2 fuse the
-    packing into their 1x1s at no extra MXU cost, and the conv3 output is
-    unpacked (for W-only, a pure reshape)."""
+
+class PackedCSPLayer(nn.Module):
+    """``CSPLayer`` twin packed on ``axes``: input and output are both
+    packed (darknet's fully-packed dark2 stage). The W-only raw-in/raw-out
+    variant lives in ``blocks.CSPLayer``; both share
+    :func:`csp_packed_body`."""
 
     out_channels: int
     n: int = 1
@@ -404,44 +454,22 @@ class PackedCSPLayer(nn.Module):
     expansion: float = 0.5
     act: str = "silu"
     axes: Any = True
-    packed_io: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        hidden = int(self.out_channels * self.expansion)
-        packed_in = self.axes if self.packed_io else False
-        x1 = PackedConvBN(
-            hidden, 1, 1, act=self.act, packed_in=packed_in,
-            packed_out=self.axes, dtype=self.dtype, name="conv1",
-        )(x, train=train)
-        x2 = PackedConvBN(
-            hidden, 1, 1, act=self.act, packed_in=packed_in,
-            packed_out=self.axes, dtype=self.dtype, name="conv2",
-        )(x, train=train)
-        for i in range(self.n):
-            x1 = PackedBottleneck(
-                hidden,
-                shortcut=self.shortcut,
-                expansion=1.0,
-                act=self.act,
-                axes=self.axes,
-                dtype=self.dtype,
-                name=f"m_{i}",
-            )(x1, train=train)
-        x = jnp.concatenate([x1, x2], axis=-1)
-        y = PackedConvBN(
-            self.out_channels,
-            1,
-            1,
+        return csp_packed_body(
+            x,
+            out_channels=self.out_channels,
+            n=self.n,
+            shortcut=self.shortcut,
+            expansion=self.expansion,
             act=self.act,
-            packed_in=self.axes,
-            packed_out=self.axes,
+            axes=self.axes,
+            packed_input=True,
             dtype=self.dtype,
-            in_perm=concat_perm((hidden, hidden), groups=_factor(self.axes)),
-            name="conv3",
-        )(x, train=train)
-        return y if self.packed_io else unpack(y, self.axes)
+            train=train,
+        )
 
 
 class _PackedFocusConv(nn.Module):

@@ -62,6 +62,8 @@ def test_pack_unpack_roundtrip():
         (1, 1, (False, True), (False, True)),
         (3, 1, (False, True), (False, True)),
         (3, 2, (False, True), False),
+        # the stem spec: raw image in, 2x2-packed out, even kernel
+        (6, 2, False, True),
     ],
 )
 def test_phase_conv_matches_raw_conv(ksize, stride, packed_in, packed_out):
