@@ -135,6 +135,8 @@ def make_train_step(
         metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics
 
+    # exposed for benchmarking/bisection (tools/bench_suite.py train_parts)
+    train_step.loss_fn = loss_fn
     return train_step
 
 

@@ -78,13 +78,13 @@ def _timed_samples(dispatch_once, sync, n_samples, steps_per_sample):
     return float(np.min(samples))
 
 
-def _build_model(depth, width, dtype):
+def _build_model(depth, width, dtype, packed=True):
     from streamyolo_tpu.models.dfp_pafpn import DFPPAFPN
     from streamyolo_tpu.models.heads import TALHead
     from streamyolo_tpu.models.yolox import StreamYOLO
 
     return StreamYOLO(
-        backbone=DFPPAFPN(depth=depth, width=width, dtype=dtype),
+        backbone=DFPPAFPN(depth=depth, width=width, dtype=dtype, packed=packed),
         head=TALHead(num_classes=8, width=width, dtype=dtype),
     )
 
@@ -326,18 +326,89 @@ def bench_train(batch: int, n_samples: int, remat: bool = False):
     }}
 
 
+def bench_train_parts(batch: int, n_samples: int, packed: bool = True):
+    """Bisect the s train step: loss-only forward vs loss+grads, to
+    attribute step time between forward, backward, and optimizer+EMA
+    (the full step is the ``train_s`` mode)."""
+    jax = _setup_jax()
+
+    from streamyolo_tpu.train import (
+        build_lr_schedule, create_train_state, make_train_step,
+    )
+
+    import jax.numpy as jnp
+
+    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16,
+                         packed=packed)
+    h, w, max_labels = 600, 960, 50
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (batch, h, w, 6)).astype(np.float32)
+    labels = np.zeros((batch, max_labels, 5), np.float32)
+    labels[:, :8] = np.stack([
+        rs.randint(0, 8, (batch, 8)).astype(np.float32),
+        rs.uniform(100, 860, (batch, 8)).astype(np.float32),
+        rs.uniform(100, 500, (batch, 8)).astype(np.float32),
+        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
+        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
+    ], axis=-1)
+    variables = model.init(
+        jax.random.PRNGKey(0), images[:1], mode="off_pipe", train=False)
+    lr_schedule = build_lr_schedule(
+        "yoloxwarmcos", lr=0.001 / 64 * batch, iters_per_epoch=100,
+        max_epoch=15, warmup_epochs=1, no_aug_epochs=15)
+    state, tx = create_train_state(variables, lr_schedule)
+    step_fn = make_train_step(
+        model, tx, num_classes=8, lr_schedule=lr_schedule,
+        gamma=1.0, ignore_thr=0.5, ignore_value=1.5)
+    loss_fn = step_fn.loss_fn
+
+    batch_d = jax.device_put({
+        "images": images, "labels": labels, "support_labels": labels.copy()})
+    state = jax.device_put(state)
+
+    loss_only = jax.jit(
+        lambda p, bs, b: loss_fn(p, bs, b)[0])
+    loss_grad = jax.jit(
+        lambda p, bs, b: jax.value_and_grad(loss_fn, has_aux=True)(p, bs, b))
+
+    results = {}
+    for tag, fn, fetch in (
+        ("loss_fwd", loss_only, lambda r: float(r)),
+        ("loss_bwd", loss_grad, lambda r: float(r[0][0])),
+    ):
+        out = fn(state.params, state.batch_stats, batch_d)  # compile + warm
+        fetch(out)
+        holder = {"out": None}
+
+        def dispatch():
+            for _ in range(R):
+                holder["out"] = fn(state.params, state.batch_stats, batch_d)
+
+        step_s = _timed_samples(
+            dispatch, lambda: fetch(holder["out"]), n_samples, R)
+        name = f"train_parts_{tag}_b{batch}" + ("" if packed else "_raw")
+        _report(name, step_s * 1e3, "step")
+        results[name] = {"ms_per_step": round(step_s * 1e3, 1)}
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=[
-        "stream_fp32", "serve8", "eval_fwd", "eval_dedup", "train_s", "all"])
+        "stream_fp32", "serve8", "eval_fwd", "eval_dedup", "train_s",
+        "train_parts", "all"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-packed", action="store_true")
     p.add_argument("--depth", type=float, default=1.0)
     p.add_argument("--width", type=float, default=1.0)
     args = p.parse_args()
 
     results = {}
+    if args.which == "train_parts":
+        results.update(bench_train_parts(
+            args.batch or 16, args.samples, packed=not args.no_packed))
     if args.which in ("stream_fp32", "all"):
         results.update(bench_stream("fp32", args.batch or 1, args.samples))
     if args.which in ("serve8", "all"):
