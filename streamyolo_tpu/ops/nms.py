@@ -122,15 +122,36 @@ def _postprocess_single(
     scores = obj * cls_conf
     conf_ok = scores >= conf_thre
 
+    # Top-k candidate selection as ONE multi-operand sort with the box/conf
+    # payload riding along (lexicographic key (-score, index) reproduces
+    # lax.top_k's order incl. its lower-index-first tie rule). Dynamic
+    # row-GATHERS of the candidates (corners[top_idx] etc.) cost ~0.7 ms
+    # per streaming step on TPU v5e — 4x the payload sort itself.
     k = min(pre_nms_topk, pred.shape[0])
-    top_scores, top_idx = jax.lax.top_k(jnp.where(conf_ok, scores, -1.0), k)
-    boxes_k = corners[top_idx]
+    masked = jnp.where(conf_ok, scores, -1.0)
+    idx = jnp.arange(pred.shape[0], dtype=jnp.int32)
+    srt = jax.lax.sort(
+        (
+            -masked,
+            idx,
+            corners[:, 0],
+            corners[:, 1],
+            corners[:, 2],
+            corners[:, 3],
+            obj,
+            cls_conf,
+            cls_pred,
+        ),
+        num_keys=2,
+    )
+    top_scores = -srt[0][:k]
+    boxes_k = jnp.stack([srt[2][:k], srt[3][:k], srt[4][:k], srt[5][:k]], axis=-1)
+    obj_k, cls_conf_k, cls_pred_k = srt[6][:k], srt[7][:k], srt[8][:k]
     valid_k = top_scores > 0.0
 
     nms_boxes = boxes_k
     if not class_agnostic:
-        offsets = cls_pred[top_idx][:, None] * _CLASS_OFFSET
-        nms_boxes = boxes_k + offsets
+        nms_boxes = boxes_k + cls_pred_k[:, None] * _CLASS_OFFSET
     if use_pallas:
         from streamyolo_tpu.ops.nms_pallas import nms_padded_pallas
 
@@ -141,9 +162,9 @@ def _postprocess_single(
     out = jnp.concatenate(
         [
             boxes_k,
-            obj[top_idx][:, None],
-            cls_conf[top_idx][:, None],
-            cls_pred[top_idx][:, None],
+            obj_k[:, None],
+            cls_conf_k[:, None],
+            cls_pred_k[:, None],
             keep[:, None].astype(pred.dtype),
         ],
         axis=-1,

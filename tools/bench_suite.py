@@ -104,7 +104,9 @@ def _stream_chain(jax, jnp, model, variables, batch, cast_dtype):
                 preds, num_classes=8, conf_thre=0.3, nms_thre=0.5,
                 pre_nms_topk=100,
             )
-            return nb, acc + dets[0, 0, 0]
+            # reduce over the WHOLE detection tensor (incl. the keep flags)
+            # so XLA cannot dead-code-eliminate the NMS suppression
+            return nb, acc + jnp.sum(dets.astype(jnp.float32))
 
         b, acc = jax.lax.fori_loop(0, K, body, (b, jnp.float32(0)))
         return b, acc
