@@ -141,7 +141,7 @@ def simota_assign_single(
     iou_sum10 = jnp.zeros((m,), jnp.float32)
     for _ in range(n_cand_k):
         i = jnp.argmax(x, axis=1)
-        iou_sum10 = iou_sum10 + jnp.take_along_axis(x, i[:, None], 1)[:, 0]
+        iou_sum10 = iou_sum10 + jnp.max(x, axis=1)
         x = x.at[rows, i].set(-1.0)
     dynamic_ks = jnp.maximum(iou_sum10.astype(jnp.int32), 1)  # [M]
 

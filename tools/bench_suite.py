@@ -260,19 +260,17 @@ def bench_eval_dedup(batch: int, n_samples: int, depth: float = 1.0,
     }}
 
 
-def bench_train(batch: int, n_samples: int, remat: bool = False):
-    """Full train step (fwd + SimOTA/TAL + bwd + SGD + EMA), StreamYOLO-s at
-    600x960, per-chip batch ``batch``."""
-    jax = _setup_jax()
-
+def _train_setup(jax, batch: int, remat: bool, packed: bool = True):
+    """Shared fixture for the train benches: StreamYOLO-s at 600x960, the
+    synthetic 8-object batch, and the configured train step."""
     from streamyolo_tpu.train import (
-        build_lr_schedule, create_train_state, jit_train_step, make_train_step,
+        build_lr_schedule, create_train_state, make_train_step,
     )
-    from streamyolo_tpu.train.trainer import _donation_safe
 
     import jax.numpy as jnp
 
-    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16)
+    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16,
+                         packed=packed)
     h, w, max_labels = 600, 960, 50
     rs = np.random.RandomState(0)
     images = rs.randint(0, 255, (batch, h, w, 6)).astype(np.float32)
@@ -294,11 +292,22 @@ def bench_train(batch: int, n_samples: int, remat: bool = False):
     step_fn = make_train_step(
         model, tx, num_classes=8, lr_schedule=lr_schedule,
         gamma=1.0, ignore_thr=0.5, ignore_value=1.5, remat=remat)
-    jitted = jit_train_step(step_fn, donate=_donation_safe())
-
     batch_d = jax.device_put({
         "images": images, "labels": labels, "support_labels": labels.copy()})
-    state = jax.device_put(state)
+    return step_fn, jax.device_put(state), batch_d
+
+
+def bench_train(batch: int, n_samples: int, remat: bool = False):
+    """Full train step (fwd + SimOTA/TAL + bwd + SGD + EMA), StreamYOLO-s at
+    600x960, per-chip batch ``batch``."""
+    jax = _setup_jax()
+
+    from streamyolo_tpu.train import jit_train_step
+    from streamyolo_tpu.train.trainer import _donation_safe
+
+    step_fn, state, batch_d = _train_setup(jax, batch, remat)
+    jitted = jit_train_step(step_fn, donate=_donation_safe())
+
     state, metrics = jitted(state, batch_d)  # compile + warm
     float(metrics["total_loss"])
     flops = _flops(jitted, state, batch_d)
@@ -328,45 +337,15 @@ def bench_train(batch: int, n_samples: int, remat: bool = False):
     }}
 
 
-def bench_train_parts(batch: int, n_samples: int, packed: bool = True):
+def bench_train_parts(batch: int, n_samples: int, remat: bool = False,
+                      packed: bool = True):
     """Bisect the s train step: loss-only forward vs loss+grads, to
     attribute step time between forward, backward, and optimizer+EMA
     (the full step is the ``train_s`` mode)."""
     jax = _setup_jax()
 
-    from streamyolo_tpu.train import (
-        build_lr_schedule, create_train_state, make_train_step,
-    )
-
-    import jax.numpy as jnp
-
-    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16,
-                         packed=packed)
-    h, w, max_labels = 600, 960, 50
-    rs = np.random.RandomState(0)
-    images = rs.randint(0, 255, (batch, h, w, 6)).astype(np.float32)
-    labels = np.zeros((batch, max_labels, 5), np.float32)
-    labels[:, :8] = np.stack([
-        rs.randint(0, 8, (batch, 8)).astype(np.float32),
-        rs.uniform(100, 860, (batch, 8)).astype(np.float32),
-        rs.uniform(100, 500, (batch, 8)).astype(np.float32),
-        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
-        rs.uniform(20, 120, (batch, 8)).astype(np.float32),
-    ], axis=-1)
-    variables = model.init(
-        jax.random.PRNGKey(0), images[:1], mode="off_pipe", train=False)
-    lr_schedule = build_lr_schedule(
-        "yoloxwarmcos", lr=0.001 / 64 * batch, iters_per_epoch=100,
-        max_epoch=15, warmup_epochs=1, no_aug_epochs=15)
-    state, tx = create_train_state(variables, lr_schedule)
-    step_fn = make_train_step(
-        model, tx, num_classes=8, lr_schedule=lr_schedule,
-        gamma=1.0, ignore_thr=0.5, ignore_value=1.5)
+    step_fn, state, batch_d = _train_setup(jax, batch, remat, packed=packed)
     loss_fn = step_fn.loss_fn
-
-    batch_d = jax.device_put({
-        "images": images, "labels": labels, "support_labels": labels.copy()})
-    state = jax.device_put(state)
 
     loss_only = jax.jit(
         lambda p, bs, b: loss_fn(p, bs, b)[0])
@@ -388,7 +367,11 @@ def bench_train_parts(batch: int, n_samples: int, packed: bool = True):
 
         step_s = _timed_samples(
             dispatch, lambda: fetch(holder["out"]), n_samples, R)
-        name = f"train_parts_{tag}_b{batch}" + ("" if packed else "_raw")
+        name = (
+            f"train_parts_{tag}_b{batch}"
+            + ("_remat" if remat else "")
+            + ("" if packed else "_raw")
+        )
         _report(name, step_s * 1e3, "step")
         results[name] = {"ms_per_step": round(step_s * 1e3, 1)}
     return results
@@ -410,7 +393,8 @@ def main():
     results = {}
     if args.which == "train_parts":
         results.update(bench_train_parts(
-            args.batch or 16, args.samples, packed=not args.no_packed))
+            args.batch or 16, args.samples, remat=args.remat,
+            packed=not args.no_packed))
     if args.which in ("stream_fp32", "all"):
         results.update(bench_stream("fp32", args.batch or 1, args.samples))
     if args.which in ("serve8", "all"):
