@@ -63,6 +63,11 @@ class _ArgoverseBase:
         self._input_dim = img_size
         self.enable_mosaic = False
         self.preproc = preproc
+        # Support-frame dataset index per id (filled by ONE/TWO
+        # _load_anno_from_id) — lets the memmap cache serve the support frame
+        # without re-running boundary logic. Image ids are consecutive and
+        # equal to the dataset index (documented invariant above).
+        self._support_idx = {}
         self.annotations = [self._load_anno_from_id(i) for i in self.ids]
         self.imgs = None
         if cache:
@@ -165,6 +170,7 @@ class ONE_ARGOVERSEDataset(_ArgoverseBase):
             im_ann_support = im_ann
         else:
             im_ann_support = self.coco.loadImgs(id_ - 1)[0]
+        self._support_idx[int(id_)] = int(im_ann_support["id"])
 
         # Target annotations: next frame's labels, with the reference's
         # empty-target quirk for the last two dataset images (`:98-109`).
@@ -192,11 +198,21 @@ class ONE_ARGOVERSEDataset(_ArgoverseBase):
             self._file_name(im_ann_support),
         )
 
+    def _cached_img(self, index) -> np.ndarray:
+        h, w = self.annotations[index][3]  # resized_info
+        return self.imgs[index][:h, :w].copy()
+
     def pull_item(self, index):
         id_ = self.ids[index]
         res, support_res, img_info, _, fname, support_fname = self.annotations[index]
-        img = self._read_resized(fname)
-        support_img = self._read_resized(support_fname)
+        if self.imgs is not None:
+            # --cache: both frames come from the memmap (the support frame is
+            # just another dataset row, `_support_idx`); no disk IO per item.
+            img = self._cached_img(index)
+            support_img = self._cached_img(self._support_idx[int(id_)])
+        else:
+            img = self._read_resized(fname)
+            support_img = self._read_resized(support_fname)
         return img, support_img, res.copy(), support_res.copy(), img_info, np.array([id_])
 
     def __getitem__(self, index):
@@ -238,6 +254,7 @@ class TWO_ARGOVERSEDataset(ONE_ARGOVERSEDataset):
             im_ann_support = self.coco.loadImgs(id_ - 1)[0]
         else:
             im_ann_support = self.coco.loadImgs(id_ - 2)[0]
+        self._support_idx[int(id_)] = int(im_ann_support["id"])
 
         if id_ in (seq_len - 1, seq_len - 2):
             annotations = self.coco.img_to_anns.get(int(seq_len), [])

@@ -80,6 +80,7 @@ class SequentialDedupForward:
         self._shifts = support_shifts(dataset)
         self._id_to_idx = {int(v): k for k, v in enumerate(dataset.ids)}
         self._carry = None
+        self._saw_partial = False
 
         def run(v, frames, carry, shifts):
             return model.apply(
@@ -98,9 +99,21 @@ class SequentialDedupForward:
 
     def reset(self):
         self._carry = None
+        self._saw_partial = False
 
     def __call__(self, images: np.ndarray, ids) -> Any:
         n_real = len(ids)
+        # Padded rows (shift 0) of a partial batch enter the 2-frame carry via
+        # ext[-2:]; that is only safe because a partial batch can occur at the
+        # dataset tail ONLY. A loader that pads mid-epoch would corrupt the
+        # next batch's support features — assert it never happens.
+        assert not self._saw_partial, (
+            "SequentialDedupForward received a batch after a partial batch; "
+            "partial batches are only valid at the dataset tail (call reset() "
+            "between epochs)"
+        )
+        if n_real < images.shape[0]:
+            self._saw_partial = True
         shifts = np.zeros(images.shape[0], np.int32)  # padded rows self-fuse
         shifts[:n_real] = [
             self._shifts[self._id_to_idx[int(np.asarray(i).reshape(-1)[0])]]

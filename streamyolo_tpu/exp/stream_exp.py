@@ -127,11 +127,16 @@ class StreamExp(BaseExp):
         unsharded val traversal (ONE/TWO pairing, single process)."""
         from streamyolo_tpu.eval import SequentialDedupForward
 
+        # Cache keyed on the model instance: the jitted closure captures the
+        # model, so reusing it for a different model would silently run the
+        # first one's program.
+        cache = getattr(self, "_seq_forward_jit_cache", None)
+        if cache is None:
+            cache = self._seq_forward_jit_cache = {}
         fwd = SequentialDedupForward(
-            model, variables, dataset,
-            jit_fn=getattr(self, "_seq_forward_jit", None),
+            model, variables, dataset, jit_fn=cache.get(id(model))
         )
-        self._seq_forward_jit = fwd.jit_fn
+        cache[id(model)] = fwd.jit_fn
         return fwd
 
     # ---------------- data ----------------
@@ -313,18 +318,17 @@ class StreamExp(BaseExp):
 
     def preprocess(self, inputs, targets, tsize):
         """On-device multiscale resize of an NHWC batch + cxcywh label scale
-        (reference `cfgs/...:160-171`). Pure jax; jitted per target size."""
-        import jax
-        import jax.numpy as jnp
+        (reference `cfgs/...:160-171`). Uses the torch-exact bilinear
+        (align_corners=False, NO antialiasing — ``F.interpolate`` semantics);
+        ``jax.image.resize`` would antialias on downsample and drift on 20 of
+        the 21 multiscale sizes. Pure jax; jitted per target size."""
+        from streamyolo_tpu.ops.resize import resize_bilinear_torch
 
         scale_y = tsize[0] / self.input_size[0]
         scale_x = tsize[1] / self.input_size[1]
         if scale_x == 1 and scale_y == 1:
             return inputs, targets
-        b, _, _, c = inputs.shape
-        inputs = jax.image.resize(
-            inputs, (b, tsize[0], tsize[1], c), method="bilinear"
-        )
+        inputs = resize_bilinear_torch(inputs, (tsize[0], tsize[1]))
         scaled = []
         for t in targets:
             t = t.at[..., 1::2].multiply(scale_x)

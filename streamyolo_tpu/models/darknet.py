@@ -85,10 +85,17 @@ class CSPDarknet(nn.Module):
 
         outputs: Dict[str, jax.Array] = {}
 
-        stem_cls = PackedFocus if pack_stem else Focus
-        x = stem_cls(base_channels, ksize=3, act=self.act, dtype=self.dtype, name="stem")(
-            x, train=train
-        )
+        if pack_stem:
+            x = PackedFocus(
+                base_channels, ksize=3, act=self.act, dtype=self.dtype, name="stem"
+            )(x, train=train)
+        else:
+            # fast=self.packed: packed=False must yield a fully raw execution
+            # (no transformed-kernel paths), for layout-numerics bisection.
+            x = Focus(
+                base_channels, ksize=3, act=self.act, dtype=self.dtype,
+                fast=self.packed, name="stem",
+            )(x, train=train)
         if "stem" in self.out_features:
             outputs["stem"] = unpack2x2(x) if pack_stem else x
 

@@ -357,18 +357,22 @@ class Focus(nn.Module):
     On even-sized inputs with stride 1 (every real use) this runs as the
     equivalent (2k)x(2k) stride-2 conv on the raw image (``_FocusStemConv``);
     the parameter tree is identical in both branches, so a model initialized
-    either way runs either way."""
+    either way runs either way. ``fast=False`` forces the literal
+    space-to-depth + conv formulation (the backbone threads its ``packed``
+    flag here, so ``CSPDarknet(packed=False)`` is a fully raw execution for
+    layout-numerics bisection)."""
 
     out_channels: int
     ksize: int = 1
     stride: int = 1
     act: str = "silu"
     dtype: Any = jnp.float32
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         h, w = x.shape[-3], x.shape[-2]
-        if self.stride == 1 and h % 2 == 0 and w % 2 == 0:
+        if self.fast and self.stride == 1 and h % 2 == 0 and w % 2 == 0:
             return _FocusCBS(
                 self.out_channels,
                 self.ksize,

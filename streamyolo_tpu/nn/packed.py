@@ -207,6 +207,11 @@ def phase_conv(
         n_in = x.shape[axis]
         raw_in = n_in * (2 if pin[i] else 1)
         raw_out = -(-raw_in // stride)
+        if pout[i]:
+            assert raw_out % 2 == 0, (
+                f"packed_out on axis {i} needs an even raw output length, "
+                f"got {raw_out} (raw_in={raw_in}, stride={stride})"
+            )
         n_out = raw_out // 2 if pout[i] else raw_out
         pad_hi = (n_out - 1) * stride_eff[i] + k_eff.shape[axis + 3] \
             - pad_lo[i] - n_in

@@ -94,3 +94,35 @@ def test_train_cli_end_to_end(fake_argoverse, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, "train_log.txt"))
     log = open(os.path.join(out, "train_log.txt")).read()
     assert "Training done" in log
+
+
+def test_eval_cli_strict_ckpt_load(tmp_path, monkeypatch):
+    """Eval loads checkpoints STRICTLY by default (round-2 finding: a typo'd
+    or truncated checkpoint must fail loudly, not evaluate random init) —
+    matching the reference's strict load at tools/eval.py:168."""
+    import importlib
+    import pickle
+
+    from streamyolo_tpu.exp import get_exp
+
+    cfg = os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py")
+    exp = get_exp(cfg)
+    exp.width = 0.25
+    variables = exp.init_model(exp.get_model())
+    # truncate: drop one whole subtree
+    broken = {
+        "params": {k: v for k, v in variables["params"].items() if k != "head"},
+        "batch_stats": variables["batch_stats"],
+    }
+    ckpt = tmp_path / "truncated_ckpt.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": broken, "start_epoch": 0}, f)
+
+    eval_mod = importlib.import_module("eval")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval.py", "-f", cfg, "-b", "1", "-c", str(ckpt),
+         "width", "0.25", "output_dir", str(tmp_path)],
+    )
+    with pytest.raises(ValueError, match="missing/mismatched"):
+        eval_mod.main()

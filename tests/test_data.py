@@ -238,3 +238,28 @@ def test_train_loader_with_worker_processes(fake_argoverse):
     images, (labels, support_labels), _, _ = next(iter(loader))
     assert images.shape == (2, IMG_SIZE[0], IMG_SIZE[1], 6)
     assert labels.shape == (2, 50, 5) and support_labels.shape == (2, 50, 5)
+
+
+def test_one_two_dataset_memmap_cache(fake_argoverse, monkeypatch):
+    """--cache must actually serve BOTH frames from the memmap for the stream
+    datasets (round-2 finding: only STILL consulted ``self.imgs``); with the
+    cache built, pull_item performs zero disk reads and returns the same
+    images as the uncached path."""
+    for cls, name in ((ONE_ARGOVERSEDataset, "cache_one"),
+                      (TWO_ARGOVERSEDataset, "cache_two")):
+        plain = cls(fake_argoverse, "train.json", img_size=IMG_SIZE)
+        cached = cls(fake_argoverse, "train.json", name=name,
+                     img_size=IMG_SIZE, cache=True)
+        assert cached.imgs is not None
+
+        def _no_disk(fname):
+            raise AssertionError(f"disk read with cache enabled: {fname}")
+
+        monkeypatch.setattr(cached, "_read_resized", _no_disk)
+        for i in range(len(cached)):
+            img, sup, res, sup_res, info, iid = cached.pull_item(i)
+            p_img, p_sup, p_res, p_sup_res, p_info, p_iid = plain.pull_item(i)
+            np.testing.assert_array_equal(img, p_img)
+            np.testing.assert_array_equal(sup, p_sup)
+            np.testing.assert_array_equal(res, p_res)
+            assert info == p_info and iid == p_iid

@@ -367,3 +367,23 @@ def test_torch_pth_checkpoint_roundtrip(tmp_path):
     merged = merge_variables(target, v, strict=False)
     assert merged["params"]["backbone"]["jian2"]["bn"]["scale"].sum() == 32  # loaded ones
     assert merged["params"]["extra"]["kernel"][0, 0, 0, 0] == 7.0  # kept init
+
+
+def test_preprocess_is_torch_exact_bilinear():
+    """StreamExp.preprocess must use the torch-exact bilinear (F.interpolate
+    align_corners=False, no antialias) — jax.image.resize antialiases on
+    downsample and drifts on 20 of the 21 multiscale sizes (round-2 finding)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    exp = get_exp(CFGS[0])
+    exp.input_size = (48, 64)
+    x = np.random.RandomState(0).rand(2, 48, 64, 6).astype(np.float32)
+    for tsize in ((32, 48), (16, 32)):  # downsample: where antialias differs
+        out, _ = exp.preprocess(jnp.asarray(x), (jnp.zeros((2, 1, 5)),), tsize)
+        want = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=tsize,
+            mode="bilinear", align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)

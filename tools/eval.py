@@ -42,6 +42,13 @@ def make_parser():
                         help="evaluate on test split")
     parser.add_argument("--speed", dest="speed", default=False, action="store_true",
                         help="speed-only test")
+    parser.add_argument("--tolerant", dest="tolerant", default=False,
+                        action="store_true",
+                        help="shape-tolerant checkpoint load (missing/"
+                             "mismatched leaves keep init values). Eval loads "
+                             "STRICTLY by default, like the reference "
+                             "(tools/eval.py:168 there); tolerance belongs to "
+                             "fine-tune, not eval")
     parser.add_argument("--legacy", dest="legacy", default=False, action="store_true",
                         help="accepted for older-version compatibility; like the "
                              "reference (tools/eval.py:86-93, evaluator call with "
@@ -87,7 +94,9 @@ def main():
         ckpt_file = args.ckpt or os.path.join(file_name, "best_ckpt.pkl")
         logger.info(f"loading checkpoint from {ckpt_file}")
         ckpt = load_checkpoint(ckpt_file)
-        variables = merge_variables(variables, ckpt["model"], strict=False)
+        # Strict by default: a typo'd/truncated checkpoint must fail loudly,
+        # not silently evaluate random init in the missing leaves.
+        variables = merge_variables(variables, ckpt["model"], strict=not args.tolerant)
         logger.info("loaded checkpoint done.")
 
     if args.fuse:
