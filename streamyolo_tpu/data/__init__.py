@@ -23,6 +23,7 @@ from streamyolo_tpu.data.transforms import (
     box_candidates,
     preproc,
     random_perspective,
+    warp_keep_mask,
 )
 
 __all__ = [
@@ -48,4 +49,5 @@ __all__ = [
     "box_candidates",
     "preproc",
     "random_perspective",
+    "warp_keep_mask",
 ]

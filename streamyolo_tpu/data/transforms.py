@@ -26,34 +26,111 @@ from streamyolo_tpu.ops.boxes import xyxy2cxcywh
 
 
 def augment_hsv(img: np.ndarray, hgain=0.015, sgain=0.7, vgain=0.4) -> None:
-    """In-place LUT-based HSV jitter (BGR image)."""
-    r = np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
-    dtype = img.dtype
+    """In-place HSV gain jitter of a BGR uint8 image.
 
-    x = np.arange(0, 256, dtype=np.int16)
-    lut_hue = ((x * r[0]) % 180).astype(dtype)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
-    lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
+    Draws one multiplicative gain per channel (uniform in ``1 +/- *gain``),
+    scales hue modulo the OpenCV 0..179 hue range and saturates S/V at 255,
+    then converts back in place. Vectorized directly over the channel planes
+    (value-identical to a 256-entry LUT since the map is per-value)."""
+    gains = 1.0 + np.random.uniform(-1.0, 1.0, 3) * (hgain, sgain, vgain)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.float64)
+    hsv[..., 0] = (np.floor(hsv[..., 0]) * gains[0]) % 180
+    hsv[..., 1:] = np.clip(hsv[..., 1:] * gains[1:], 0, 255)
+    cv2.cvtColor(hsv.astype(img.dtype), cv2.COLOR_HSV2BGR, dst=img)
 
-    img_hsv = cv2.merge(
-        (cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val))
-    ).astype(dtype)
-    cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=img)
+
+def warp_keep_mask(
+    before: np.ndarray,
+    after: np.ndarray,
+    min_side: float = 2.0,
+    max_aspect: float = 20.0,
+    min_area_frac: float = 0.2,
+) -> np.ndarray:
+    """Keep-mask for boxes surviving a geometric warp.
+
+    ``before``/``after`` are (n, 4) xyxy arrays (pre-warp boxes already in
+    the warp's scale). A box survives if both post-warp sides exceed
+    ``min_side`` px, it retains at least ``min_area_frac`` of its area, and
+    its aspect ratio stays under ``max_aspect``.
+    """
+    eps = 1e-16
+    bw, bh = (before[:, 2] - before[:, 0]), (before[:, 3] - before[:, 1])
+    aw, ah = (after[:, 2] - after[:, 0]), (after[:, 3] - after[:, 1])
+    aspect = np.maximum(aw / (ah + eps), ah / (aw + eps))
+    keep = (aw > min_side) & (ah > min_side)
+    keep &= aw * ah > min_area_frac * (bw * bh + eps)
+    keep &= aspect < max_aspect
+    return keep
 
 
 def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.2):
-    """Filter post-augmentation boxes: min side, area ratio, aspect ratio.
-    box1/box2 are (4, n) before/after."""
-    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
-    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
-    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
-    return (
-        (w2 > wh_thr)
-        & (h2 > wh_thr)
-        & (w2 * h2 / (w1 * h1 + 1e-16) > area_thr)
-        & (ar < ar_thr)
+    """Reference-surface adapter (yolox ``data_augment.box_candidates``,
+    SURVEY.md §2.3): (4, n) corner-stacked before/after boxes."""
+    return warp_keep_mask(
+        np.asarray(box1).T, np.asarray(box2).T,
+        min_side=wh_thr, max_aspect=ar_thr, min_area_frac=area_thr,
     )
+
+
+def _sample_warp_matrix(
+    size_hw: Tuple[int, int],
+    out_hw: Tuple[int, int],
+    degrees: float,
+    translate: float,
+    scale: Tuple[float, float],
+    shear: float,
+) -> Tuple[np.ndarray, float]:
+    """Draw one random rotate/scale/shear/translate warp as a 3x3 matrix.
+
+    Pixel flow (right-to-left): recenter the source about its middle, rotate
+    by a uniform angle while scaling uniformly, shear each axis, then drop
+    the origin at a uniformly jittered point of the output canvas. Draw
+    order is fixed so callers can replay the warp by reseeding ``random``
+    (the mosaic wrapper applies one warp to both frames of a pair).
+    """
+    angle = math.radians(random.uniform(-degrees, degrees))
+    zoom = random.uniform(scale[0], scale[1])
+    shear_x = math.tan(math.radians(random.uniform(-shear, shear)))
+    shear_y = math.tan(math.radians(random.uniform(-shear, shear)))
+    tx = random.uniform(0.5 - translate, 0.5 + translate) * out_hw[1]
+    ty = random.uniform(0.5 - translate, 0.5 + translate) * out_hw[0]
+
+    recenter = np.array(
+        [[1, 0, -size_hw[1] / 2], [0, 1, -size_hw[0] / 2], [0, 0, 1]], np.float64
+    )
+    cos_a, sin_a = zoom * math.cos(angle), zoom * math.sin(angle)
+    # y grows downward, so a positive angle rotates counter-clockwise on
+    # screen (the cv2.getRotationMatrix2D convention).
+    rot = np.array([[cos_a, sin_a, 0], [-sin_a, cos_a, 0], [0, 0, 1]], np.float64)
+    sh = np.array([[1, shear_x, 0], [shear_y, 1, 0], [0, 0, 1]], np.float64)
+    shift = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float64)
+    return shift @ sh @ rot @ recenter, zoom
+
+
+def _warp_boxes(
+    boxes: np.ndarray, matrix: np.ndarray, out_hw: Tuple[int, int], perspective: float
+) -> np.ndarray:
+    """Warp (n, 4) xyxy boxes: map all four corners, take the axis-aligned
+    hull, clip to the output canvas."""
+    x1, y1, x2, y2 = boxes.T
+    corners = np.stack(
+        [
+            np.stack([x1, y1], -1),
+            np.stack([x2, y2], -1),
+            np.stack([x1, y2], -1),
+            np.stack([x2, y1], -1),
+        ],
+        axis=1,
+    )  # (n, 4 corners, 2)
+    warped = corners @ matrix[:2, :2].T + matrix[:2, 2]
+    if perspective:
+        w = corners @ matrix[2, :2].T + matrix[2, 2]
+        warped = warped / w[..., None]
+    lo, hi = warped.min(axis=1), warped.max(axis=1)
+    out = np.stack([lo[:, 0], lo[:, 1], hi[:, 0], hi[:, 1]], axis=-1)
+    out[:, 0::2] = out[:, 0::2].clip(0, out_hw[1])
+    out[:, 1::2] = out[:, 1::2].clip(0, out_hw[0])
+    return out
 
 
 def random_perspective(
@@ -66,55 +143,32 @@ def random_perspective(
     perspective=0.0,
     border=(0, 0),
 ):
-    """Random affine/perspective warp of image + [cls-last xyxy] targets
-    (mosaic post-transform)."""
-    height = img.shape[0] + border[0] * 2
-    width = img.shape[1] + border[1] * 2
+    """Random affine/perspective warp of image + [xyxy, cls] targets (the
+    mosaic post-transform; capability of yolox ``data_augment``, SURVEY.md
+    §2.3). ``border`` shrinks (negative) or grows the output canvas, the
+    mosaic wrapper's un-pad. Boxes that degenerate under the warp are
+    dropped via ``warp_keep_mask``."""
+    out_hw = (img.shape[0] + 2 * border[0], img.shape[1] + 2 * border[1])
+    matrix, zoom = _sample_warp_matrix(
+        img.shape[:2], out_hw, degrees, translate, scale, shear
+    )
 
-    C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
-
-    R = np.eye(3)
-    a = random.uniform(-degrees, degrees)
-    s = random.uniform(scale[0], scale[1])
-    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
-
-    S = np.eye(3)
-    S[0, 1] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
-    S[1, 0] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
-
-    T = np.eye(3)
-    T[0, 2] = random.uniform(0.5 - translate, 0.5 + translate) * width
-    T[1, 2] = random.uniform(0.5 - translate, 0.5 + translate) * height
-
-    M = T @ S @ R @ C
-
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+    if border != (0, 0) or not np.array_equal(matrix, np.eye(3)):
+        gray = (114, 114, 114)
         if perspective:
-            img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=(114, 114, 114))
+            img = cv2.warpPerspective(
+                img, matrix, dsize=(out_hw[1], out_hw[0]), borderValue=gray
+            )
         else:
-            img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+            img = cv2.warpAffine(
+                img, matrix[:2], dsize=(out_hw[1], out_hw[0]), borderValue=gray
+            )
 
-    n = len(targets)
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = targets[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        if perspective:
-            xy = (xy[:, :2] / xy[:, 2:3]).reshape(n, 8)
-        else:
-            xy = xy[:, :2].reshape(n, 8)
-
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        xy = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        xy[:, [0, 2]] = xy[:, [0, 2]].clip(0, width)
-        xy[:, [1, 3]] = xy[:, [1, 3]].clip(0, height)
-
-        keep = box_candidates(box1=targets[:, :4].T * s, box2=xy.T)
+    if len(targets):
+        warped = _warp_boxes(targets[:, :4], matrix, out_hw, perspective)
+        keep = warp_keep_mask(targets[:, :4] * zoom, warped)
         targets = targets[keep]
-        targets[:, :4] = xy[keep]
+        targets[:, :4] = warped[keep]
 
     return img, targets
 

@@ -263,3 +263,37 @@ def test_one_two_dataset_memmap_cache(fake_argoverse, monkeypatch):
             np.testing.assert_array_equal(sup, p_sup)
             np.testing.assert_array_equal(res, p_res)
             assert info == p_info and iid == p_iid
+
+
+def test_random_perspective_geometry():
+    """House-idiom warp: pinned parameters give predictable geometry."""
+    import random as pyrandom
+
+    from streamyolo_tpu.data import random_perspective, warp_keep_mask
+
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[18:22, 28:32] = 255  # small centered blob
+    boxes = np.array([[20.0, 10.0, 40.0, 30.0, 1.0]])
+
+    # degrees=0, translate=0, scale pinned to 1, shear=0 => identity
+    pyrandom.seed(0)
+    out_img, out_boxes = random_perspective(
+        img.copy(), boxes.copy(), degrees=0, translate=0, scale=(1, 1), shear=0
+    )
+    np.testing.assert_array_equal(out_img, img)
+    np.testing.assert_allclose(out_boxes[0, :4], boxes[0, :4], atol=1e-6)
+
+    # scale pinned to 2 => box doubles around the image center
+    pyrandom.seed(0)
+    _, zoomed = random_perspective(
+        img.copy(), boxes.copy(), degrees=0, translate=0, scale=(2, 2), shear=0
+    )
+    cx, cy = 30.0, 20.0
+    want = [cx + 2 * (20 - cx), cy + 2 * (10 - cy), cx + 2 * (40 - cx), cy + 2 * (30 - cy)]
+    want = np.clip(want, 0, [60, 40, 60, 40])
+    np.testing.assert_allclose(zoomed[0, :4], want, atol=1e-6)
+
+    # keep-mask semantics: degenerate post-warp boxes are dropped
+    before = np.array([[0.0, 0.0, 20.0, 20.0], [0.0, 0.0, 20.0, 20.0]])
+    after = np.array([[0.0, 0.0, 20.0, 20.0], [0.0, 0.0, 1.0, 20.0]])
+    np.testing.assert_array_equal(warp_keep_mask(before, after), [True, False])
