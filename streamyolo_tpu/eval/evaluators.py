@@ -107,7 +107,7 @@ class _StreamEvaluatorBase:
             unconditional gather-to-rank-0
             (`onex_stream_evaluator.py:158-161`).
         """
-        from streamyolo_tpu.ops.nms import postprocess_fixed
+        from streamyolo_tpu.ops.nms import candidate_counts, postprocess_fixed
 
         if distributed is None:
             import jax
@@ -117,6 +117,7 @@ class _StreamEvaluatorBase:
         data_list: List[dict] = []
         inference_time = 0.0
         nms_time = 0.0
+        n_saturated = 0
         n_samples = max(len(self.dataloader) - 1, 1)
 
         batch_size = getattr(self.dataloader, "batch_size", None)
@@ -146,6 +147,10 @@ class _StreamEvaluatorBase:
             # slice padded rows off AFTER the fixed-shape postprocess so the
             # NMS program compiles once too
             dets = np.asarray(fixed)[:n_real]  # device sync
+            if dets.shape[1] < np.shape(preds)[1]:  # K < anchors: cap can bite
+                n_saturated += int(
+                    (candidate_counts(dets, self.confthre) >= dets.shape[1]).sum()
+                )
             if is_time_iter:
                 # forward+NMS are one fused program on TPU; report the whole
                 # step under "inference" and keep the NMS meter at the tiny
@@ -160,6 +165,13 @@ class _StreamEvaluatorBase:
                 nms_time += time.perf_counter() - infer_end
             data_list.extend(self.convert_to_coco_format(outputs, info_imgs, ids))
 
+        if n_saturated:
+            get_logger().warning(
+                "pre-NMS candidate selection saturated on %d image(s) at conf "
+                "%.4g (the reference NMS is uncapped) — rerun with a larger "
+                "pre_nms_topk if the COCO rows matter at this density",
+                n_saturated, self.confthre,
+            )
         statistics = np.array([inference_time, nms_time, n_samples])
         if distributed:
             # multi-host: gather detection lists from every process and sum

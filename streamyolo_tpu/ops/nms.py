@@ -216,6 +216,43 @@ def postprocess_fixed(
     return jax.vmap(fn)(prediction.astype(jnp.float32))
 
 
+def candidate_counts(rows: np.ndarray, conf_thre: float) -> np.ndarray:
+    """Per-image count of [..., K, 8] output slots holding above-confidence
+    candidates. A count equal to K means the pre-NMS top-k selection
+    SATURATED: there were >= K candidates above ``conf_thre`` and the
+    lowest-scored ones were silently dropped before NMS (the reference NMS
+    is uncapped — `yolox.utils.postprocess`). Every slot carries its raw
+    obj/cls_conf payload whether or not it survived NMS, so this is exact
+    and costs no extra device transfer."""
+    scores = rows[..., 4] * rows[..., 5]
+    return (scores >= conf_thre).sum(axis=-1)
+
+
+def warn_if_saturated(
+    rows: np.ndarray, conf_thre: float, n_anchors: Optional[int] = None
+) -> int:
+    """Log a warning when any image's candidate selection saturated
+    ("no silent caps" discipline). Returns the number of saturated images.
+    When the K slots cover every anchor (``k >= n_anchors``) nothing can have
+    been dropped and a full count is not saturation."""
+    k = rows.shape[-2]
+    if n_anchors is not None and k >= n_anchors:
+        return 0
+    counts = candidate_counts(rows, conf_thre)
+    n_sat = int((counts >= k).sum())
+    if n_sat:
+        from streamyolo_tpu.utils.logger import get_logger
+
+        get_logger().warning(
+            "pre-NMS candidate selection saturated on %d image(s): >= %d "
+            "candidates above conf %.4g — lowest-scored candidates were "
+            "dropped before NMS; raise pre_nms_topk if post-NMS rows matter "
+            "at this density",
+            n_sat, k, conf_thre,
+        )
+    return n_sat
+
+
 def postprocess(
     prediction,
     num_classes: int,
@@ -237,6 +274,7 @@ def postprocess(
             class_agnostic,
         )
     )
+    warn_if_saturated(fixed, conf_thre, n_anchors=np.shape(prediction)[1])
     outputs: List[Optional[np.ndarray]] = []
     for row in fixed:
         kept = row[row[:, 7] > 0.5][:, :7]

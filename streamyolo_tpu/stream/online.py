@@ -58,6 +58,9 @@ class TPUStreamDetector:
 
         self.input_size = input_size
         self.in_scale = in_scale
+        self.conf_thre = conf_thre
+        self.pre_nms_topk = pre_nms_topk
+        self.n_saturated = 0  # frames where the top-k candidate cap bit
         self._buffer = None
         self.variables = jax.device_put(variables)
 
@@ -106,6 +109,18 @@ class TPUStreamDetector:
         else:
             dets, self._buffer = self._step_buf(self.variables, image, self._buffer)
         rows = np.asarray(dets)[0]  # [K, 8] — the only per-frame D2H
+        # Saturation check (no extra transfer: every slot carries its raw
+        # obj/cls_conf payload). All K slots above conf => candidates were
+        # silently dropped pre-NMS; log the first few occurrences.
+        if int((rows[:, 4] * rows[:, 5] >= self.conf_thre).sum()) >= rows.shape[0]:
+            self.n_saturated += 1
+            if self.n_saturated <= 3 or self.n_saturated % 100 == 0:
+                get_logger().warning(
+                    "streaming pre-NMS selection saturated (%d candidates "
+                    "above conf %.4g; frame count %d) — raise pre_nms_topk "
+                    "for dense scenes",
+                    self.pre_nms_topk, self.conf_thre, self.n_saturated,
+                )
         kept = rows[rows[:, 7] > 0.5]
         bboxes = kept[:, :4] / self.in_scale
         scores = kept[:, 4] * kept[:, 5]

@@ -182,3 +182,43 @@ def test_nms_exact_score_ties(rng):
         np.asarray(nms_padded(sb, valid, 0.5)),
         np.asarray(nms_padded_sequential(sb, valid, 0.5)),
     )
+
+
+def test_dense_scene_cap_invisible_and_saturation_detected(rng):
+    """Dense scene (>1000 above-conf candidates at conf 0.001): the 1000-cap
+    must not change the top-100 post-NMS rows (maxDets=100 is what COCOeval
+    consumes), and the saturation detector must fire so the cap is never
+    silent (round-2 finding; the reference NMS is uncapped)."""
+    from streamyolo_tpu.ops.nms import candidate_counts, warn_if_saturated
+
+    # 800 cells on a 40x20 grid; TWO heavily-overlapping boxes per cell so
+    # real suppression happens (1600 above-conf candidates, ~800 survivors).
+    n_cells, num_classes = 800, 8
+    gx, gy = np.meshgrid(np.arange(40), np.arange(20))
+    centers = np.stack([gx.reshape(-1) * 24 + 12, gy.reshape(-1) * 24 + 12], -1)
+    preds = []
+    for j, (cx, cy) in enumerate(centers[:n_cells]):
+        hi, lo = 0.9 - 1e-4 * j, 0.5 - 1e-4 * j
+        cls = np.zeros(num_classes); cls[j % num_classes] = 1.0
+        preds.append([cx, cy, 10, 10, hi, *cls])          # winner
+        preds.append([cx + 1, cy + 1, 10, 10, lo, *cls])  # suppressed (IoU .68)
+    pred = np.asarray(preds, np.float32)[None]  # [1, 1600, 13]
+
+    capped = postprocess(pred, num_classes, 0.001, 0.65, pre_nms_topk=1000)[0]
+    full = postprocess(pred, num_classes, 0.001, 0.65, pre_nms_topk=1600)[0]
+    # top-100 post-NMS rows identical (rows come out score-sorted)
+    np.testing.assert_array_equal(capped[:100], full[:100])
+
+    # saturation is detected on the capped run only
+    fixed_capped = np.asarray(
+        postprocess_fixed(jnp.asarray(pred), num_classes, 0.001, 0.65, 1000)
+    )
+    fixed_full = np.asarray(
+        postprocess_fixed(jnp.asarray(pred), num_classes, 0.001, 0.65, 1600)
+    )
+    n_anchors = pred.shape[1]
+    assert candidate_counts(fixed_capped, 0.001)[0] == 1000
+    assert warn_if_saturated(fixed_capped, 0.001, n_anchors) == 1
+    assert candidate_counts(fixed_full, 0.001)[0] == 1600
+    # K covers every anchor -> nothing could have been dropped
+    assert warn_if_saturated(fixed_full, 0.001, n_anchors) == 0
