@@ -60,8 +60,16 @@ class Trainer:
         self.start_epoch = 0
         self.meter = MeterBuffer(window_size=exp.print_interval)
         self.file_name = os.path.join(exp.output_dir, args.experiment_name)
-        os.makedirs(self.file_name, exist_ok=True)
-        setup_logger(self.file_name, filename="train_log.txt")
+        from streamyolo_tpu.parallel import get_rank, is_main_process
+
+        self._is_main = is_main_process()
+        if self._is_main:
+            os.makedirs(self.file_name, exist_ok=True)
+        # only rank 0 gets the file sink (reference setup_logger contract,
+        # `double_trainer.py:67-72`); every rank still logs to stderr
+        setup_logger(
+            self.file_name, distributed_rank=get_rank(), filename="train_log.txt"
+        )
         self.logger = get_logger()
         self.use_tal = exp.head_name == "tal"
         self.tb_writer = None
@@ -127,24 +135,23 @@ class Trainer:
             is_distributed=False,
         )
         # logger backend selection (`double_trainer.py:184-193`): tensorboard
-        # or wandb (wandb-* key/value pairs come through --opts).
+        # or wandb (wandb-* key/value pairs come through --opts). Rank 0 only,
+        # like the reference (`double_trainer.py:183-193` is is_main-guarded).
         backend = getattr(args, "logger", "tensorboard")
-        if backend == "tensorboard":
+        if backend not in ("tensorboard", "wandb"):
+            raise ValueError("logger must be either 'tensorboard' or 'wandb'")
+        if self._is_main and backend == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self.tb_writer = SummaryWriter(self.file_name)
             except Exception:
                 self.tb_writer = None
-        elif backend == "wandb":
+        elif self._is_main and backend == "wandb":
             from streamyolo_tpu.utils.wandb_logger import WandbLogger
 
             self.wandb_logger = WandbLogger.initialize_wandb_logger(
                 args, exp
-            )
-        else:
-            raise ValueError(
-                "logger must be either 'tensorboard' or 'wandb'"
             )
         self.logger.info("Training starts...")
 
@@ -382,6 +389,11 @@ class Trainer:
     def save_ckpt(self, ckpt_name: str, update_best_ckpt: bool = False):
         from streamyolo_tpu.utils.checkpoint import save_checkpoint
 
+        # Rank 0 writes; everyone else would race the shared filesystem
+        # (reference guard at `double_trainer.py:353-371`). The params are
+        # replicated, so rank 0's copy is the global state.
+        if not self._is_main:
+            return
         if self.exp.ema:
             model_vars = {
                 "params": self.state.ema_params,

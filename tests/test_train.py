@@ -387,3 +387,42 @@ def test_preprocess_is_torch_exact_bilinear():
             mode="bilinear", align_corners=False,
         ).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_trainer_rank_guards(tmp_path, monkeypatch):
+    """Non-main ranks must not write checkpoints, file logs, or TB/W&B
+    (round-2 finding; reference guard at double_trainer.py:353-371)."""
+    import types
+
+    from streamyolo_tpu import parallel as par
+    from streamyolo_tpu.train.trainer import Trainer
+
+    monkeypatch.setattr(par, "get_rank", lambda: 1)
+    monkeypatch.setattr(par, "is_main_process", lambda: False)
+
+    exp = get_exp(CFGS[0])
+    exp.output_dir = str(tmp_path)
+    args = types.SimpleNamespace(experiment_name="rank1")
+    trainer = Trainer(exp, args)
+    assert not trainer._is_main
+
+    # save_ckpt is a no-op off rank 0 (state never touched)
+    trainer.epoch = 0
+    trainer.state = None
+    trainer.save_ckpt("latest")
+    assert not os.path.exists(os.path.join(str(tmp_path), "rank1", "latest_ckpt.pkl"))
+    # no per-rank file sink, no output dir
+    assert not os.path.exists(os.path.join(str(tmp_path), "rank1", "train_log.txt"))
+
+
+def test_trainer_main_rank_writes(tmp_path):
+    """Rank 0 keeps the full sink surface (regression guard for the guard)."""
+    import types
+
+    from streamyolo_tpu.train.trainer import Trainer
+
+    exp = get_exp(CFGS[0])
+    exp.output_dir = str(tmp_path)
+    trainer = Trainer(exp, types.SimpleNamespace(experiment_name="rank0"))
+    assert trainer._is_main
+    assert os.path.isdir(os.path.join(str(tmp_path), "rank0"))
