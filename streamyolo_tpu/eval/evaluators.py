@@ -234,6 +234,9 @@ class _StreamEvaluatorBase:
             coco_eval.evaluate()
             coco_eval.accumulate()
             coco_eval.summarize()
+            # full 12-stat vector (AP, AP50, AP75, ...) for consumers that
+            # need more than the (AP, AP50) return — tools/validate_baseline.py
+            self.last_stats = np.asarray(coco_eval.stats, dtype=np.float64)
             info += str(coco_eval) + "\n"
             if self.per_class_AP:
                 from streamyolo_tpu.data.argoverse_classes import ARGOVERSE_CLASSES

@@ -126,3 +126,63 @@ def test_eval_cli_strict_ckpt_load(tmp_path, monkeypatch):
     )
     with pytest.raises(ValueError, match="missing/mismatched"):
         eval_mod.main()
+
+
+def test_validate_baseline_end_to_end(fake_argoverse, tmp_path, monkeypatch, capsys):
+    """tools/validate_baseline.py driven end-to-end on the synthetic fixture:
+    strict weight load + fuse + eval for a row, table diffed against an
+    expected table, nonzero exit outside tolerance — so the first run with
+    real data/weights is turnkey (BASELINE recipe, reference README:108-122)."""
+    import importlib
+    import json
+    import pickle
+
+    from tests.conftest import FAKE_IMG_SIZE
+
+    from streamyolo_tpu.exp import get_exp
+
+    opts = ["data_num_workers", "0",
+            "input_size", repr(tuple(FAKE_IMG_SIZE)),
+            "test_size", repr(tuple(FAKE_IMG_SIZE)),
+            "width", "0.25"]
+
+    # fabricate "released weights" matching the overridden s config
+    cfg = os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py")
+    exp = get_exp(cfg)
+    exp.merge(opts)
+    variables = exp.init_model(exp.get_model())
+    wpath = tmp_path / "s_weights.pkl"
+    with open(wpath, "wb") as f:
+        pickle.dump({"model": variables}, f)
+
+    vb = importlib.import_module("validate_baseline")
+
+    def run(expected):
+        epath = tmp_path / "expected.json"
+        epath.write_text(json.dumps(expected))
+        monkeypatch.setattr(
+            sys, "argv",
+            ["validate_baseline.py", "--weights-dir", str(tmp_path),
+             "--data-dir", fake_argoverse, "-b", "4", "--models", "s",
+             "--weights", f"s={wpath}", "--expected-json", str(epath),
+             "--tolerance", "0.5"] + opts,
+        )
+        return vb.main()
+
+    # random init scores ~0 sAP: far outside tolerance of the published 29.8
+    assert run({"s": [29.8, 50.3, 29.8]}) == 1
+    out = capsys.readouterr().out
+    assert "FAIL" in out and "s " in out
+
+    # ... and inside tolerance of 0 the same run passes
+    assert run({"s": [0.0, 0.0, 0.0]}) == 0
+    assert "OK" in capsys.readouterr().out
+
+    # a missing weight file is an ERROR row + nonzero exit, not a crash
+    monkeypatch.setattr(
+        sys, "argv",
+        ["validate_baseline.py", "--weights-dir", str(tmp_path / "nope"),
+         "--data-dir", fake_argoverse, "--models", "s"] + opts,
+    )
+    assert vb.main() == 1
+    assert "ERROR" in capsys.readouterr().out
