@@ -17,6 +17,7 @@ torchvision ``batched_nms``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -192,10 +193,12 @@ def postprocess_fixed(
     detections, rows (x1, y1, x2, y2, obj, cls_conf, cls, valid).
 
     ``use_pallas=None`` auto-selects the VMEM-resident Pallas NMS kernel on
-    directly-attached TPU backends (K <= 1024); the jnp fixed-point otherwise.
-    Both are exact greedy NMS (cross-verified in tests). The axon dev relay's
-    remote-compile helper cannot build Mosaic kernels (HTTP 500), so the
-    kernel is not auto-selected there."""
+    directly-attached TPU backends (K <= 1024) — but only after a
+    once-per-cache-dir selftest has compiled the kernel and cross-checked it
+    bit-exact against the jnp fixed-point twin (``pallas_nms_verified``); the
+    jnp path otherwise. The axon dev relay's remote-compile helper cannot
+    build Mosaic kernels (HTTP 500), so the kernel is not auto-selected
+    there."""
     if use_pallas is None:
         import os
 
@@ -203,6 +206,7 @@ def postprocess_fixed(
             jax.default_backend() == "tpu"
             and "axon" not in os.environ.get("JAX_PLATFORMS", "")
             and min(pre_nms_topk, prediction.shape[1]) <= 1024
+            and pallas_nms_verified()
         )
     fn = functools.partial(
         _postprocess_single,
@@ -214,6 +218,94 @@ def postprocess_fixed(
         use_pallas=use_pallas,
     )
     return jax.vmap(fn)(prediction.astype(jnp.float32))
+
+
+_PALLAS_NMS_OK: Optional[bool] = None
+
+
+def run_pallas_nms_selftest(
+    trials: int = 4, k: int = 128, seed: int = 0, interpret: bool = False
+):
+    """Compile the Pallas NMS kernel and cross-check it bit-exact against the
+    jnp fixed-point twin on random score-sorted candidate sets. Returns
+    ``(ok, detail)``; any compile or numerics failure is ``(False, why)``."""
+    try:
+        from streamyolo_tpu.ops.nms_pallas import nms_padded_pallas
+
+        rng = np.random.RandomState(seed)
+        for trial in range(trials):
+            cxy = rng.uniform(20, 500, (k, 2))
+            wh = rng.uniform(5, 80, (k, 2))
+            boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+            # score-sorted inputs with class offsets, like the real call site
+            boxes += rng.randint(0, 3, (k, 1)) * _CLASS_OFFSET
+            valid = rng.uniform(size=k) < 0.8
+            boxes_j = jnp.asarray(boxes, jnp.float32)
+            valid_j = jnp.asarray(valid)
+            for thr in (0.45, 0.65):
+                got = np.asarray(
+                    nms_padded_pallas(boxes_j, valid_j, thr, interpret=interpret)
+                )
+                want = np.asarray(nms_padded(boxes_j, valid_j, thr))
+                if not np.array_equal(got, want):
+                    return False, (
+                        f"keep-mask mismatch (trial {trial}, thr {thr}): "
+                        f"{int((got != want).sum())} of {k} rows differ"
+                    )
+        return True, f"{trials} trials x 2 thresholds bit-exact (K={k})"
+    except Exception as e:  # compile failures must fall back, not crash
+        return False, f"{type(e).__name__}: {e}"
+
+
+def pallas_nms_verified(force: bool = False) -> bool:
+    """Once-per-cache-dir gate for the compiled Pallas NMS (safe first
+    contact): before the kernel can serve traffic, run
+    ``run_pallas_nms_selftest`` on the attached backend and persist the
+    verdict next to the XLA compilation cache so later processes skip the
+    check. ``force=True`` re-runs the selftest and rewrites the marker."""
+    global _PALLAS_NMS_OK
+    if _PALLAS_NMS_OK is not None and not force:
+        return _PALLAS_NMS_OK
+    import json
+
+    from streamyolo_tpu.utils.logger import get_logger
+
+    marker = None
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir:
+        kind = getattr(jax.devices()[0], "device_kind", "unknown")
+        # key on the transport too: a compile failure through the axon relay
+        # must not gate the kernel off for a later directly-attached chip of
+        # the same kind (and vice versa)
+        transport = os.environ.get("JAX_PLATFORMS", "") or jax.default_backend()
+        marker = os.path.join(
+            cache_dir,
+            "pallas_nms_selftest_"
+            f"{transport.replace(',', '+')}_{kind.replace(' ', '_')}.json",
+        )
+        if not force and os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    _PALLAS_NMS_OK = bool(json.load(f)["ok"])
+                return _PALLAS_NMS_OK
+            except Exception:
+                pass  # unreadable marker: fall through to a fresh selftest
+    ok, detail = run_pallas_nms_selftest()
+    _PALLAS_NMS_OK = ok
+    (get_logger().info if ok else get_logger().warning)(
+        "Pallas NMS selftest %s: %s%s",
+        "passed" if ok else "FAILED (falling back to the jnp fixed-point)",
+        detail,
+        f" [verdict cached at {marker}]" if marker else "",
+    )
+    if marker:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump({"ok": ok, "detail": detail}, f)
+        except OSError:
+            pass
+    return ok
 
 
 def candidate_counts(rows: np.ndarray, conf_thre: float) -> np.ndarray:

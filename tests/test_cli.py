@@ -186,3 +186,14 @@ def test_validate_baseline_end_to_end(fake_argoverse, tmp_path, monkeypatch, cap
     )
     assert vb.main() == 1
     assert "ERROR" in capsys.readouterr().out
+
+
+def test_selftest_pallas_cli_interpret(monkeypatch, capsys):
+    """tools/selftest_pallas.py --interpret: both kernels verified on CPU."""
+    import importlib
+
+    sp = importlib.import_module("selftest_pallas")
+    monkeypatch.setattr(sys, "argv", ["selftest_pallas.py", "--interpret"])
+    assert sp.main() == 0
+    out = capsys.readouterr().out
+    assert "NMS OK" in out and "preproc OK" in out

@@ -222,3 +222,60 @@ def test_dense_scene_cap_invisible_and_saturation_detected(rng):
     assert candidate_counts(fixed_full, 0.001)[0] == 1600
     # K covers every anchor -> nothing could have been dropped
     assert warn_if_saturated(fixed_full, 0.001, n_anchors) == 0
+
+
+def test_pallas_selftest_interpret_passes():
+    """The selftest harness itself: interpret-mode kernels are bit-exact
+    against the jnp twin (the compiled run needs a directly-attached TPU)."""
+    from streamyolo_tpu.ops import nms as nms_mod
+
+    ok, detail = nms_mod.run_pallas_nms_selftest(trials=2, k=64, interpret=True)
+    assert ok, detail
+
+
+def test_pallas_verified_gate_caches_verdict(tmp_path, monkeypatch):
+    """pallas_nms_verified: runs the selftest once, persists the verdict next
+    to the compilation cache, and later processes (fresh module state) read
+    the marker instead of re-running."""
+    import jax
+
+    from streamyolo_tpu.ops import nms as nms_mod
+
+    calls = {"n": 0}
+
+    def fake_selftest(*a, **k):
+        calls["n"] += 1
+        return True, "fake"
+
+    monkeypatch.setattr(nms_mod, "run_pallas_nms_selftest", fake_selftest)
+    monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        assert nms_mod.pallas_nms_verified() is True
+        assert calls["n"] == 1
+        markers = list(tmp_path.glob("pallas_nms_selftest_*.json"))
+        assert len(markers) == 1
+
+        # same process: memoized, no re-run
+        assert nms_mod.pallas_nms_verified() is True
+        assert calls["n"] == 1
+
+        # fresh process state: the marker is consulted, selftest NOT re-run
+        monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+        assert nms_mod.pallas_nms_verified() is True
+        assert calls["n"] == 1
+
+        # force re-runs and rewrites
+        assert nms_mod.pallas_nms_verified(force=True) is True
+        assert calls["n"] == 2
+
+        # a FAILED verdict is also persisted and gates auto-selection off
+        monkeypatch.setattr(
+            nms_mod, "run_pallas_nms_selftest", lambda *a, **k: (False, "boom")
+        )
+        assert nms_mod.pallas_nms_verified(force=True) is False
+        monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+        assert nms_mod.pallas_nms_verified() is False
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
