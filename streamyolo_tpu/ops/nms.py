@@ -220,9 +220,6 @@ def postprocess_fixed(
     return jax.vmap(fn)(prediction.astype(jnp.float32))
 
 
-_PALLAS_NMS_OK: Optional[bool] = None
-
-
 def run_pallas_nms_selftest(
     trials: int = 4, k: int = 128, seed: int = 0, interpret: bool = False
 ):
@@ -262,50 +259,11 @@ def pallas_nms_verified(force: bool = False) -> bool:
     contact): before the kernel can serve traffic, run
     ``run_pallas_nms_selftest`` on the attached backend and persist the
     verdict next to the XLA compilation cache so later processes skip the
-    check. ``force=True`` re-runs the selftest and rewrites the marker."""
-    global _PALLAS_NMS_OK
-    if _PALLAS_NMS_OK is not None and not force:
-        return _PALLAS_NMS_OK
-    import json
+    check (``ops/pallas_gate.py``). ``force=True`` re-runs the selftest and
+    rewrites the marker."""
+    from streamyolo_tpu.ops.pallas_gate import kernel_verified
 
-    from streamyolo_tpu.utils.logger import get_logger
-
-    marker = None
-    cache_dir = jax.config.jax_compilation_cache_dir
-    if cache_dir:
-        kind = getattr(jax.devices()[0], "device_kind", "unknown")
-        # key on the transport too: a compile failure through the axon relay
-        # must not gate the kernel off for a later directly-attached chip of
-        # the same kind (and vice versa)
-        transport = os.environ.get("JAX_PLATFORMS", "") or jax.default_backend()
-        marker = os.path.join(
-            cache_dir,
-            "pallas_nms_selftest_"
-            f"{transport.replace(',', '+')}_{kind.replace(' ', '_')}.json",
-        )
-        if not force and os.path.exists(marker):
-            try:
-                with open(marker) as f:
-                    _PALLAS_NMS_OK = bool(json.load(f)["ok"])
-                return _PALLAS_NMS_OK
-            except Exception:
-                pass  # unreadable marker: fall through to a fresh selftest
-    ok, detail = run_pallas_nms_selftest()
-    _PALLAS_NMS_OK = ok
-    (get_logger().info if ok else get_logger().warning)(
-        "Pallas NMS selftest %s: %s%s",
-        "passed" if ok else "FAILED (falling back to the jnp fixed-point)",
-        detail,
-        f" [verdict cached at {marker}]" if marker else "",
-    )
-    if marker:
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            with open(marker, "w") as f:
-                json.dump({"ok": ok, "detail": detail}, f)
-        except OSError:
-            pass
-    return ok
+    return kernel_verified("nms", run_pallas_nms_selftest, force=force)
 
 
 def candidate_counts(rows: np.ndarray, conf_thre: float) -> np.ndarray:

@@ -81,3 +81,49 @@ def downsample2x_reference(frame_u8) -> jax.Array:
     h, w, c = frame_u8.shape
     x = frame_u8.astype(jnp.float32).reshape(h // 2, 2, w // 2, 2, c)
     return x.mean(axis=(1, 3))
+
+
+def run_pallas_preproc_selftest(interpret: bool = False):
+    """Compile the downsample kernel and cross-check it bit-exact against
+    the jnp oracle on random uint8 frames (incl. the full 1200x1920 camera
+    shape). Returns ``(ok, detail)``."""
+    import numpy as np
+
+    try:
+        rng = np.random.RandomState(0)
+        for h, w in ((64, 96), (1200, 1920)):
+            frame = rng.randint(0, 256, (h, w, 3), np.uint8)
+            got = np.asarray(downsample2x_bilinear(
+                frame, out_dtype=jnp.float32, interpret=interpret))
+            want = np.asarray(downsample2x_reference(frame)).astype(np.float32)
+            if not np.array_equal(got, want):
+                return False, (
+                    f"downsample mismatch at {h}x{w}: max abs diff "
+                    f"{np.abs(got - want).max():.4g}")
+        return True, "64x96 + 1200x1920 frames bit-exact vs the jnp oracle"
+    except Exception as e:  # compile failures must fall back, not crash
+        return False, f"{type(e).__name__}: {e}"
+
+
+def pallas_preproc_verified(force: bool = False) -> bool:
+    """Once-per-cache-dir gate for the compiled downsample kernel
+    (``ops/pallas_gate.py`` — same discipline as ``pallas_nms_verified``)."""
+    from streamyolo_tpu.ops.pallas_gate import kernel_verified
+
+    return kernel_verified("preproc", run_pallas_preproc_selftest, force=force)
+
+
+def downsample2x_auto(frame_u8: jax.Array, *, out_dtype=jnp.bfloat16) -> jax.Array:
+    """Device-side 0.5x streaming preprocess with backend auto-selection:
+    the Pallas kernel on a directly-attached TPU (after the verified gate),
+    the jnp oracle otherwise (the axon relay cannot compile Mosaic)."""
+    import os
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and "axon" not in os.environ.get("JAX_PLATFORMS", "")
+        and pallas_preproc_verified()
+    )
+    if use_pallas:
+        return downsample2x_bilinear(frame_u8, out_dtype=out_dtype)
+    return downsample2x_reference(frame_u8).astype(out_dtype)

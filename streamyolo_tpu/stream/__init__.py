@@ -8,6 +8,7 @@ from streamyolo_tpu.stream.online import (
     stream_sequence_infinite,
 )
 from streamyolo_tpu.stream.pairing import (
+    detections_for_image,
     eval_ccf,
     ltrb2ltwh,
     pair_streaming_results,
@@ -30,6 +31,7 @@ __all__ = [
     "run_streaming_detection",
     "stream_sequence",
     "stream_sequence_infinite",
+    "detections_for_image",
     "eval_ccf",
     "ltrb2ltwh",
     "pair_streaming_results",

@@ -50,6 +50,7 @@ class TPUStreamDetector:
         num_classes: int = 8,
         pre_nms_topk: int = 200,
         use_bf16: bool = True,
+        device_preproc: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -61,11 +62,24 @@ class TPUStreamDetector:
         self.conf_thre = conf_thre
         self.pre_nms_topk = pre_nms_topk
         self.n_saturated = 0  # frames where the top-k candidate cap bit
+        self.device_preproc = device_preproc
         self._buffer = None
         self.variables = jax.device_put(variables)
+        compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
         def _step(variables, image, buffer):
-            x = image.astype(jnp.bfloat16 if use_bf16 else jnp.float32)
+            if device_preproc:
+                # raw [1, 2H, 2W, 3] uint8 in: fused 0.5x downsample +
+                # cv2-parity round (floor(x+0.5), the uint8 write cv2 does)
+                # + cast, all on device — Pallas kernel when verified, jnp
+                # twin otherwise (ops/preproc_pallas.py).
+                from streamyolo_tpu.ops.preproc_pallas import downsample2x_auto
+
+                ds = downsample2x_auto(image[0], out_dtype=jnp.float32)
+                x = jnp.clip(jnp.floor(ds + 0.5), 0, 255)[None]
+                x = x.astype(compute_dtype)
+            else:
+                x = image.astype(compute_dtype)
             preds, new_buffer = model.apply(variables, x, buffer=buffer, mode="on_pipe")
             dets = postprocess_fixed(
                 preds, num_classes=num_classes, conf_thre=conf_thre,
@@ -84,7 +98,10 @@ class TPUStreamDetector:
     def warmup(self, n: int = 10):
         """Compile + warm both programs (reference warms x10,
         `streamyolo_det.py:113-121`)."""
-        frame = np.zeros((self.input_size[0], self.input_size[1], 3), np.uint8)
+        scale = 2 if self.device_preproc else 1
+        frame = np.zeros(
+            (scale * self.input_size[0], scale * self.input_size[1], 3),
+            np.uint8)
         self.reset()
         for _ in range(n):
             self(frame, preprocessed=True)
@@ -93,7 +110,20 @@ class TPUStreamDetector:
     def preproc(self, frame_bgr: np.ndarray) -> np.ndarray:
         """Plain resize to the streaming input size (`streamyolo_det.py:57-60`
         — the online path does NOT letterbox). Stays uint8: the cast happens
-        on device (4x less H2D traffic)."""
+        on device (4x less H2D traffic).
+
+        With ``device_preproc`` the compiled step expects the raw frame at
+        exactly 2x the input size (the 0.5x resize runs on device inside the
+        step, so the host does no pixel work at all); other source shapes
+        must use the host path."""
+        if self.device_preproc:
+            want = (2 * self.input_size[0], 2 * self.input_size[1])
+            if frame_bgr.shape[:2] != want:
+                raise ValueError(
+                    f"device_preproc expects raw {want[0]}x{want[1]} frames "
+                    f"(2x the input size), got {frame_bgr.shape[:2]} — use "
+                    "device_preproc=False for other source resolutions")
+            return frame_bgr
         import cv2
 
         return cv2.resize(

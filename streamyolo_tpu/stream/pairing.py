@@ -85,6 +85,40 @@ def pair_streaming_results(
     return results_ccf, {"miss": miss, "in_time": in_time, "mismatch": mismatch}
 
 
+def detections_for_image(
+    results_ccf: Sequence[dict],
+    image_id: int,
+    start_idx: Optional[int] = None,
+) -> Tuple[Optional[int], np.ndarray, np.ndarray, np.ndarray]:
+    """Detections of one image id from a CCF result list (the
+    ``result_from_ccf`` role, `/root/reference/sAP/det/__init__.py:202-224`):
+    returns ``(next_start_idx, bboxes_ltwh [N,4], scores [N], category_ids
+    [N])``.
+
+    With ``start_idx`` the list is assumed image_id-sorted (the order
+    ``pair_streaming_results`` emits) and scanned forward from there —
+    ``next_start_idx`` then lets a caller sweep a whole db in one pass;
+    without it, the list is filtered in full and ``next_start_idx`` is None.
+    """
+    if start_idx is not None:
+        i = start_idx
+        while i < len(results_ccf) and results_ccf[i]["image_id"] < image_id:
+            i += 1
+        end = i
+        while end < len(results_ccf) and \
+                results_ccf[end]["image_id"] == image_id:
+            end += 1
+        dets, nxt = results_ccf[i:end], end
+    else:
+        dets, nxt = [r for r in results_ccf if r["image_id"] == image_id], None
+    return (
+        nxt,
+        np.asarray([d["bbox"] for d in dets], np.float64).reshape(-1, 4),
+        np.asarray([d["score"] for d in dets], np.float64),
+        np.asarray([d["category_id"] for d in dets], np.int64),
+    )
+
+
 def eval_ccf(db, results_ccf: Sequence[dict], img_ids=None):
     """COCO-evaluate CCF-format results against ``db``
     (`sAP/det/__init__.py:180-200` capability, on our native COCOeval)."""

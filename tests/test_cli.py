@@ -188,6 +188,25 @@ def test_validate_baseline_end_to_end(fake_argoverse, tmp_path, monkeypatch, cap
     assert "ERROR" in capsys.readouterr().out
 
 
+def test_bench_hostpath_host_only(monkeypatch, capsys):
+    """tools/bench_hostpath.py --host-only: host pieces measured, budget
+    table printed with both configurations, JSON parseable."""
+    import importlib
+    import json
+
+    pytest.importorskip("cv2")
+    bh = importlib.import_module("bench_hostpath")
+    monkeypatch.setattr(
+        sys, "argv", ["bench_hostpath.py", "--host-only", "--samples", "3"])
+    assert bh.main() == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    budget = payload["direct_attach_budget"]
+    assert set(budget) == {"host_resize", "device_resize"}
+    for cfg in budget.values():
+        assert cfg["total_ms"] > 0
+
+
 def test_selftest_pallas_cli_interpret(monkeypatch, capsys):
     """tools/selftest_pallas.py --interpret: both kernels verified on CPU."""
     import importlib

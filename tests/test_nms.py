@@ -240,6 +240,7 @@ def test_pallas_verified_gate_caches_verdict(tmp_path, monkeypatch):
     import jax
 
     from streamyolo_tpu.ops import nms as nms_mod
+    from streamyolo_tpu.ops import pallas_gate
 
     calls = {"n": 0}
 
@@ -248,7 +249,7 @@ def test_pallas_verified_gate_caches_verdict(tmp_path, monkeypatch):
         return True, "fake"
 
     monkeypatch.setattr(nms_mod, "run_pallas_nms_selftest", fake_selftest)
-    monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+    pallas_gate.reset_memo("nms")
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
     try:
@@ -262,7 +263,7 @@ def test_pallas_verified_gate_caches_verdict(tmp_path, monkeypatch):
         assert calls["n"] == 1
 
         # fresh process state: the marker is consulted, selftest NOT re-run
-        monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+        pallas_gate.reset_memo("nms")
         assert nms_mod.pallas_nms_verified() is True
         assert calls["n"] == 1
 
@@ -275,7 +276,8 @@ def test_pallas_verified_gate_caches_verdict(tmp_path, monkeypatch):
             nms_mod, "run_pallas_nms_selftest", lambda *a, **k: (False, "boom")
         )
         assert nms_mod.pallas_nms_verified(force=True) is False
-        monkeypatch.setattr(nms_mod, "_PALLAS_NMS_OK", None)
+        pallas_gate.reset_memo("nms")
         assert nms_mod.pallas_nms_verified() is False
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+        pallas_gate.reset_memo("nms")

@@ -122,6 +122,29 @@ def test_stream_future_prediction_recovers_sap(fake_argoverse):
     assert fut["stats"][2] == pytest.approx(72 / 101, abs=1e-9)  # exact boxes
 
 
+def test_detections_for_image_matches_filter(fake_argoverse):
+    """detections_for_image (the result_from_ccf role): the sequential scan
+    over an image_id-sorted ccf list returns exactly the full-filter answer,
+    and sweeping the db via next_start_idx visits every row once."""
+    from streamyolo_tpu.stream import detections_for_image
+
+    db = _db(fake_argoverse)
+    ccf, _ = pair_streaming_results(db, _run_sim(db, 1.0 / FPS), fps=FPS, eta=0)
+    assert len(ccf) > 0
+    idx = 0
+    seen = 0
+    for img in db.dataset["images"]:
+        nxt, bb, sc, lb = detections_for_image(ccf, img["id"], start_idx=idx)
+        _, bb_f, sc_f, lb_f = detections_for_image(ccf, img["id"])
+        np.testing.assert_array_equal(bb, bb_f)
+        np.testing.assert_array_equal(sc, sc_f)
+        np.testing.assert_array_equal(lb, lb_f)
+        assert bb.shape == (len(sc), 4)
+        seen += len(sc)
+        idx = nxt
+    assert seen == len(ccf)
+
+
 def test_stream_slow_detector_accumulates_mismatch(fake_argoverse):
     db = _db(fake_argoverse)
     results = _run_sim(db, runtime_s=2.0 / FPS)  # 2 periods per inference

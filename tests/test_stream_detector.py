@@ -17,21 +17,31 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 @pytest.fixture(scope="module")
-def tiny_detector():
+def tiny_model():
     from streamyolo_tpu.exp import get_exp
 
     exp = get_exp(os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"))
     exp.depth, exp.width = 0.33, 0.25
     model = exp.get_model()
     variables = exp.init_model(model)
+    return model, variables
 
+
+def _make_detector(tiny_model, **kw):
     from streamyolo_tpu.stream import TPUStreamDetector
 
+    model, variables = tiny_model
     return TPUStreamDetector(
         model, variables, input_size=(FAKE_H // 2, FAKE_W // 2), in_scale=0.5,
         conf_thre=0.05, nms_thre=0.5, num_classes=8, pre_nms_topk=32,
         use_bf16=False,  # CPU test backend
+        **kw,
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_detector(tiny_model):
+    return _make_detector(tiny_model)
 
 
 def test_tpu_stream_detector_contract(tiny_detector):
@@ -47,6 +57,29 @@ def test_tpu_stream_detector_contract(tiny_detector):
     det(frame)
     det.reset()
     assert det._buffer is None
+
+
+def test_device_preproc_matches_host_path(tiny_model, tiny_detector):
+    """device_preproc=True (raw 2x frame in, 0.5x resize on device with the
+    cv2-parity floor(x+0.5) round) produces bit-identical detections to the
+    host cv2.resize path on the same source frame."""
+    host = tiny_detector
+    dev = _make_detector(tiny_model, device_preproc=True)
+    frame = np.random.RandomState(1).randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
+
+    host.reset()
+    dev.reset()
+    for _ in range(2):  # star node, then the buffer-carrying node
+        bb_h, sc_h, lb_h, _ = host(frame)
+        bb_d, sc_d, lb_d, _ = dev(frame)
+        np.testing.assert_array_equal(bb_h, bb_d)
+        np.testing.assert_array_equal(sc_h, sc_d)
+        np.testing.assert_array_equal(lb_h, lb_d)
+    host.reset()
+
+    # a non-2x source frame must be rejected loudly, not silently mis-shaped
+    with pytest.raises(ValueError, match="device_preproc"):
+        dev(np.zeros((FAKE_H // 2, FAKE_W // 2, 3), np.uint8))
 
 
 def test_stream_detector_through_protocol(tiny_detector, fake_argoverse, tmp_path):

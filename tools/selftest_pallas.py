@@ -6,9 +6,10 @@ The two Mosaic kernels (`ops/nms_pallas.py` VMEM greedy NMS,
 verified in CI but cannot be COMPILED through the axon dev relay (its
 remote-compile helper 500s on Mosaic) — so on a directly-attached TPU this
 script is the first-contact check: it compiles both kernels, cross-checks
-them against their jnp twins, persists the NMS verdict next to the XLA
-compilation cache (the marker `ops/nms.py::pallas_nms_verified` consults
-before auto-selecting the kernel), and exits nonzero on any failure.
+them against their jnp twins, persists both verdicts next to the XLA
+compilation cache (the markers `ops/nms.py::pallas_nms_verified` and
+`ops/preproc_pallas.py::pallas_preproc_verified` consult before
+auto-selecting a kernel), and exits nonzero on any failure.
 
     python tools/selftest_pallas.py [--interpret]
 
@@ -24,38 +25,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))
-
-
-def check_preproc(interpret: bool):
-    """Compiled fused downsample vs the jnp oracle (and the documented cv2
-    INTER_LINEAR semantics) on random uint8 frames."""
-    import numpy as np
-
-    try:
-        import jax.numpy as jnp
-
-        from streamyolo_tpu.ops.preproc_pallas import (
-            downsample2x_bilinear,
-            downsample2x_reference,
-        )
-
-        rng = np.random.RandomState(0)
-        for h, w in ((64, 96), (1200, 1920)):
-            frame = rng.randint(0, 256, (h, w, 3), np.uint8)
-            got = np.asarray(
-                downsample2x_bilinear(
-                    frame, out_dtype=jnp.float32, interpret=interpret
-                )
-            )
-            want = np.asarray(downsample2x_reference(frame)).astype(np.float32)
-            if not np.array_equal(got, want):
-                return False, (
-                    f"downsample mismatch at {h}x{w}: max abs diff "
-                    f"{np.abs(got - want).max():.4g}"
-                )
-        return True, "64x96 + 1200x1920 frames bit-exact vs the jnp oracle"
-    except Exception as e:
-        return False, f"{type(e).__name__}: {e}"
 
 
 def main():
@@ -75,6 +44,10 @@ def main():
     from streamyolo_tpu.ops.nms import (
         pallas_nms_verified,
         run_pallas_nms_selftest,
+    )
+    from streamyolo_tpu.ops.preproc_pallas import (
+        pallas_preproc_verified,
+        run_pallas_preproc_selftest,
     )
     from streamyolo_tpu.utils.logger import get_logger
 
@@ -99,7 +72,11 @@ def main():
     logger.info("NMS kernel: %s — %s", "OK" if nms_ok else "FAIL", nms_detail)
     failed |= not nms_ok
 
-    pre_ok, pre_detail = check_preproc(interpret=args.interpret)
+    if args.interpret:
+        pre_ok, pre_detail = run_pallas_preproc_selftest(interpret=True)
+    else:
+        pre_ok = pallas_preproc_verified(force=True)
+        pre_detail = "see log above (verdict marker written)"
     logger.info("preproc kernel: %s — %s", "OK" if pre_ok else "FAIL", pre_detail)
     failed |= not pre_ok
 
