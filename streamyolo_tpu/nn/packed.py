@@ -49,17 +49,24 @@ from flax import linen as nn
 from streamyolo_tpu.nn.blocks import BN_EPS, BN_MOMENTUM, get_activation
 
 
-def _pair(flag) -> Tuple[bool, bool]:
-    """Normalize a per-axis pack spec: bool -> (flag, flag)."""
+def _pair(flag) -> Tuple[int, int]:
+    """Normalize a per-axis pack spec to integer factors: bool -> 1/2,
+    int -> itself, tuple -> per-axis. A factor f means the axis is carried
+    f-fold space-to-depth packed (factor 1 = unpacked)."""
+    def one(v) -> int:
+        if isinstance(v, bool):
+            return 2 if v else 1
+        return int(v)
+
     if isinstance(flag, (tuple, list)):
-        return (bool(flag[0]), bool(flag[1]))
-    return (bool(flag), bool(flag))
+        return (one(flag[0]), one(flag[1]))
+    return (one(flag), one(flag))
 
 
 def _factor(flag) -> int:
-    """Channel multiplication factor of a pack spec (1, 2, or 4)."""
-    ph, pw = _pair(flag)
-    return (2 if ph else 1) * (2 if pw else 1)
+    """Channel multiplication factor of a pack spec."""
+    fh, fw = _pair(flag)
+    return fh * fw
 
 
 def pack2x2(x: jax.Array) -> jax.Array:
@@ -79,6 +86,16 @@ def unpack2x2(x: jax.Array) -> jax.Array:
     return y.reshape(b, 2 * hp, 2 * wp, c)
 
 
+def pack_grid(x: jax.Array, fr: int, fc: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H/fr, W/fc, fr*fc*C) general space-to-depth with
+    the phase-conv channel convention (q*fr + p)*C + c (q = column phase,
+    p = row phase) — :func:`pack2x2` is ``pack_grid(x, 2, 2)``."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // fr, fr, w // fc, fc, c)  # (b, I, p, J, q, c)
+    y = y.transpose(0, 1, 3, 4, 2, 5)  # (b, I, J, q, p, c)
+    return y.reshape(b, h // fr, w // fc, fr * fc * c)
+
+
 def pack_w(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H, W/2, 2C): W-only packing, channel index
     q*C + c. A pure row-major reshape — no data movement at the logical
@@ -95,37 +112,34 @@ def unpack_w(x: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _axis_plan(
-    k: int, stride: int, pad: int, packed_in: bool, packed_out: bool
+    k: int, stride: int, pad: int, f_in: int, f_out: int
 ) -> Tuple[np.ndarray, int, int]:
-    """1-D tap algebra: selection tensor S[u, g, h, i] (1.0 where the packed
-    kernel position u, input phase g, output phase h takes raw tap i), plus
-    (stride_eff, pad_lo_eff) for the packed-coordinate convolution."""
-    gs = 2 if packed_in else 1
-    hs = 2 if packed_out else 1
-    # raw input index r = A*M + c0 with A the M-coefficient; its parity must
-    # not depend on M for packed_in to be well defined.
-    a_coef = stride * (2 if packed_out else 1)
-    if packed_in:
-        if a_coef % 2:
-            raise ValueError(
-                f"unsupported packed conv: k={k} stride={stride} "
-                f"packed_in={packed_in} packed_out={packed_out}"
-            )
-        stride_eff = a_coef // 2
-    else:
-        stride_eff = a_coef
+    """1-D tap algebra for integer pack factors: selection tensor
+    S[u, g, h, i] (1.0 where the packed kernel position u, input phase g,
+    output phase h takes raw tap i), plus (stride_eff, pad_lo_eff) for the
+    packed-coordinate convolution.
+
+    Derivation (raw y[m] = sum_i x[stride*m + i - pad] K[i]; x[r] =
+    xp[r // f_in, r % f_in]; y[m] = yp[m // f_out, m % f_out]): substituting
+    m = f_out*M + h gives raw input index r = (stride*f_out)*M +
+    (stride*h + i - pad), so the packed stride is stride*f_out / f_in —
+    which must divide evenly for the input phase to be independent of M."""
+    a_coef = stride * f_out
+    if a_coef % f_in:
+        raise ValueError(
+            f"unsupported packed conv: k={k} stride={stride} "
+            f"f_in={f_in} f_out={f_out} (stride*f_out % f_in != 0)"
+        )
+    stride_eff = a_coef // f_in
     entries = []  # (shift, g, h, i)
-    for h in range(hs):
+    for h in range(f_out):
         for i in range(k):
             c0 = stride * h + i - pad
-            if packed_in:
-                g = c0 % 2
-                entries.append(((c0 - g) // 2, g, h, i))
-            else:
-                entries.append((c0, 0, h, i))
+            g = c0 % f_in
+            entries.append(((c0 - g) // f_in, g, h, i))
     pad_lo = -min(e[0] for e in entries)
     u_size = max(e[0] for e in entries) + pad_lo + 1
-    s = np.zeros((u_size, gs, hs, k), np.float32)
+    s = np.zeros((u_size, f_in, f_out, k), np.float32)
     for shift, g, h, i in entries:
         s[shift + pad_lo, g, h, i] = 1.0
     return s, stride_eff, pad_lo
@@ -205,14 +219,15 @@ def phase_conv(
     pad_hw = []
     for i, axis in enumerate((-3, -2)):
         n_in = x.shape[axis]
-        raw_in = n_in * (2 if pin[i] else 1)
+        raw_in = n_in * pin[i]
         raw_out = -(-raw_in // stride)
-        if pout[i]:
-            assert raw_out % 2 == 0, (
-                f"packed_out on axis {i} needs an even raw output length, "
-                f"got {raw_out} (raw_in={raw_in}, stride={stride})"
+        if pout[i] > 1:
+            assert raw_out % pout[i] == 0, (
+                f"packed_out (factor {pout[i]}) on axis {i} needs a "
+                f"divisible raw output length, got {raw_out} "
+                f"(raw_in={raw_in}, stride={stride})"
             )
-        n_out = raw_out // 2 if pout[i] else raw_out
+        n_out = raw_out // pout[i]
         pad_hi = (n_out - 1) * stride_eff[i] + k_eff.shape[axis + 3] \
             - pad_lo[i] - n_in
         out_hw.append(n_out)
@@ -384,11 +399,11 @@ class PackedBottleneck(nn.Module):
 def unpack(x: jax.Array, axes) -> jax.Array:
     """Undo the packing described by ``axes``."""
     ph, pw = _pair(axes)
-    if ph and pw:
+    if ph == 2 and pw == 2:
         return unpack2x2(x)
-    if pw:
+    if pw == 2 and ph == 1:
         return unpack_w(x)
-    assert not ph, "H-only packing is not used"
+    assert ph == 1 and pw == 1, f"no unpacker for factors ({ph}, {pw})"
     return x
 
 
@@ -480,15 +495,33 @@ class PackedCSPLayer(nn.Module):
 class _PackedFocusConv(nn.Module):
     """``blocks._FocusStemConv`` twin emitting PACKED output: declares the
     same canonical ``kernel`` [k, k, 4C, F], gathers it first into the raw
-    (2k)x(2k) stride-2 image kernel, then phase-packs the output — the stem
-    becomes one dense (2k+2)x(2k+2) stride-4 conv raw image -> (H/4, W/4, 4F)."""
+    (2k)x(2k) stride-2 image kernel, then runs it over a 4x4 space-to-depth
+    PACKED view of the raw image with packed (2x2) output — a dense
+    (k/2+1)-ish conv (16C -> 4F) in fully lane-filled layout.
+
+    Why packed INPUT in training: the raw formulation convolves a C=3
+    image, for which XLA's TPU emitter picks a batch-in-lanes layout that
+    pads the batch to 128 lanes — a measured ~29 ms of a 79 ms s train step
+    (input relayout copy + stem conv/BN-moment + stem wgrad all reading the
+    8x padded tensor). Packing the image to (H/4, W/4, 16C=48) on device
+    first is one cheap fused transpose (~0.15 GB vs 1.18 GB padded), and
+    the stem conv, its wgrad, and the fused BN moments then all run
+    C-in-lanes (measured s train b=16: 79.3 -> 74.9 ms/step).
+
+    Why NOT in eval: with no wgrad and no BN moments the raw stride-2 conv
+    is already cheap, while the tap-gathered packed kernel is denser in
+    zero taps — measured s dual-frame eval b=8 REGRESSES 8.4 -> 11.0
+    ms/batch packed-in. Both formulations gather the SAME canonical
+    ``kernel`` [k, k, 4C, F] (equality-tested in tests/test_packed.py), so
+    the choice is a static branch on ``train`` with an identical parameter
+    tree."""
 
     features: int
     ksize: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         c = x.shape[-1]
         k = self.ksize
         kernel = self.param(
@@ -502,12 +535,16 @@ class _PackedFocusConv(nn.Module):
         k2k = k2k.transpose(0, 3, 1, 2, 4, 5).reshape(
             2 * k, 2 * k, c, self.features
         )
+        if train:
+            x, packed_in = pack_grid(x.astype(self.dtype), 4, 4), 4
+        else:
+            packed_in = False
         return phase_conv(
             x,
             k2k,
             stride=2,
             pad=2 * ((k - 1) // 2),
-            packed_in=False,
+            packed_in=packed_in,
             packed_out=True,
             dtype=self.dtype,
         )
@@ -525,7 +562,7 @@ class _PackedFocusCBS(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = _PackedFocusConv(
             self.out_channels, self.ksize, dtype=self.dtype, name="conv"
-        )(x)
+        )(x, train=train)
         x = PackedBatchNorm(dtype=self.dtype, name="bn")(x, train=train)
         return get_activation(self.act)(x)
 

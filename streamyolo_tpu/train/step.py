@@ -137,6 +137,7 @@ def make_train_step(
 
     # exposed for benchmarking/bisection (tools/bench_suite.py train_parts)
     train_step.loss_fn = loss_fn
+    train_step.model = model
     return train_step
 
 

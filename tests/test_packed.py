@@ -11,6 +11,7 @@ import pytest
 from streamyolo_tpu.models.darknet import CSPDarknet
 from streamyolo_tpu.nn.packed import (
     pack2x2,
+    pack_grid,
     pack_w,
     phase_conv,
     unpack,
@@ -19,6 +20,8 @@ from streamyolo_tpu.nn.packed import (
 
 
 def _apply_pack(x, spec):
+    if spec == 4:  # integer factor: general space-to-depth
+        return pack_grid(x, 4, 4)
     ph, pw = (spec, spec) if isinstance(spec, bool) else spec
     if ph and pw:
         return pack2x2(x)
@@ -64,6 +67,10 @@ def test_pack_unpack_roundtrip():
         (3, 2, (False, True), False),
         # the stem spec: raw image in, 2x2-packed out, even kernel
         (6, 2, False, True),
+        # the packed-input stem spec: 4x4-packed image in, 2x2-packed out
+        (6, 2, 4, True),
+        # factor-4 in, unpacked out (stride 4: the no-dark2-pack stem shape)
+        (8, 4, 4, False),
     ],
 )
 def test_phase_conv_matches_raw_conv(ksize, stride, packed_in, packed_out):

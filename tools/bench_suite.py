@@ -47,16 +47,44 @@ def _setup_jax():
     return jax
 
 
-def _flops(jitted, *args):
-    """XLA-counted forward FLOPs of the compiled program (None if the
-    backend does not expose cost analysis)."""
+def _cost(jitted, *args):
+    """XLA cost analysis of the compiled program: {'flops', 'bytes'} (either
+    may be None if the backend does not expose the counter). ``bytes`` is
+    XLA's bytes-accessed estimate — the HBM-roofline numerator."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        return {
+            "flops": float(cost.get("flops", 0.0)) or None,
+            "bytes": float(cost.get("bytes accessed", 0.0)) or None,
+        }
     except Exception:
-        return None
+        return {"flops": None, "bytes": None}
+
+
+def _flops(jitted, *args):
+    return _cost(jitted, *args)["flops"]
+
+
+V5E_HBM_BW = 819e9  # bytes/s, TPU v5e HBM bandwidth
+
+
+def _roofline(cost, step_s):
+    """Achieved fraction of both v5e roofs for a measured step time."""
+    parts = []
+    if cost.get("flops"):
+        parts.append(f"MXU {cost['flops'] / step_s / V5E_BF16_PEAK * 100:.0f}%"
+                     f" ({cost['flops']/1e12:.2f} TFLOP)")
+    if cost.get("bytes"):
+        parts.append(f"HBM {cost['bytes'] / step_s / V5E_HBM_BW * 100:.0f}%"
+                     f" ({cost['bytes']/1e9:.2f} GB)")
+    return "; ".join(parts)
+
+
+def _size_tag(depth: float, width: float) -> str:
+    return {(0.33, 0.5): "s", (0.67, 0.75): "m", (1.0, 1.0): "l"}.get(
+        (depth, width), f"d{depth}_w{width}")
 
 
 def _report(name, step_ms, per_what, extra=""):
@@ -260,16 +288,17 @@ def bench_eval_dedup(batch: int, n_samples: int, depth: float = 1.0,
     }}
 
 
-def _train_setup(jax, batch: int, remat: bool, packed: bool = True):
-    """Shared fixture for the train benches: StreamYOLO-s at 600x960, the
-    synthetic 8-object batch, and the configured train step."""
+def _train_setup(jax, batch: int, remat: bool, packed: bool = True,
+                 depth: float = 0.33, width: float = 0.50):
+    """Shared fixture for the train benches: StreamYOLO-{s,m,l} at 600x960,
+    the synthetic 8-object batch, and the configured train step."""
     from streamyolo_tpu.train import (
         build_lr_schedule, create_train_state, make_train_step,
     )
 
     import jax.numpy as jnp
 
-    model = _build_model(depth=0.33, width=0.50, dtype=jnp.bfloat16,
+    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16,
                          packed=packed)
     h, w, max_labels = 600, 960, 50
     rs = np.random.RandomState(0)
@@ -297,20 +326,22 @@ def _train_setup(jax, batch: int, remat: bool, packed: bool = True):
     return step_fn, jax.device_put(state), batch_d
 
 
-def bench_train(batch: int, n_samples: int, remat: bool = False):
-    """Full train step (fwd + SimOTA/TAL + bwd + SGD + EMA), StreamYOLO-s at
-    600x960, per-chip batch ``batch``."""
+def bench_train(batch: int, n_samples: int, remat: bool = False,
+                depth: float = 0.33, width: float = 0.50):
+    """Full train step (fwd + SimOTA/TAL + bwd + SGD + EMA),
+    StreamYOLO-{s,m,l} at 600x960, per-chip batch ``batch``."""
     jax = _setup_jax()
 
     from streamyolo_tpu.train import jit_train_step
     from streamyolo_tpu.train.trainer import _donation_safe
 
-    step_fn, state, batch_d = _train_setup(jax, batch, remat)
+    step_fn, state, batch_d = _train_setup(jax, batch, remat,
+                                           depth=depth, width=width)
     jitted = jit_train_step(step_fn, donate=_donation_safe())
 
     state, metrics = jitted(state, batch_d)  # compile + warm
     float(metrics["total_loss"])
-    flops = _flops(jitted, state, batch_d)
+    cost = _cost(jitted, state, batch_d)
 
     holder = {"state": state, "metrics": metrics}
 
@@ -325,40 +356,65 @@ def bench_train(batch: int, n_samples: int, remat: bool = False):
     )
     rate = batch / step_s
     extra = f"; {rate:.1f} imgs/s/chip"
-    if flops:
-        mfu = flops / step_s / V5E_BF16_PEAK
-        extra += f"; {flops/1e12:.2f} TFLOP/step, MFU {mfu*100:.1f}%"
-    tag = f"train_s_b{batch}" + ("_remat" if remat else "")
+    roof = _roofline(cost, step_s)
+    if roof:
+        extra += f"; {roof}"
+    tag = (f"train_{_size_tag(depth, width)}_b{batch}"
+           + ("_remat" if remat else ""))
     _report(tag, step_s * 1e3, "step", extra)
     return {tag: {
         "ms_per_step": round(step_s * 1e3, 1),
         "imgs_per_sec": round(rate, 1),
-        "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+        "tflops_per_step": (round(cost["flops"] / 1e12, 3)
+                            if cost["flops"] else None),
+        "gbytes_per_step": (round(cost["bytes"] / 1e9, 2)
+                            if cost["bytes"] else None),
     }}
 
 
 def bench_train_parts(batch: int, n_samples: int, remat: bool = False,
-                      packed: bool = True):
-    """Bisect the s train step: loss-only forward vs loss+grads, to
-    attribute step time between forward, backward, and optimizer+EMA
-    (the full step is the ``train_s`` mode)."""
+                      packed: bool = True, depth: float = 0.33,
+                      width: float = 0.50):
+    """Bisect the train step: loss-only forward, loss+grads, and a
+    model-only grad (sum over raw head outputs — the conv-stack backward
+    without the SimOTA/TAL loss), each with its XLA FLOP and bytes-accessed
+    roofline, to attribute step time between forward, loss backward, conv
+    backward, and optimizer+EMA (the full step is the ``train_s`` mode)."""
     jax = _setup_jax()
+    import jax.numpy as jnp
 
-    step_fn, state, batch_d = _train_setup(jax, batch, remat, packed=packed)
+    step_fn, state, batch_d = _train_setup(jax, batch, remat, packed=packed,
+                                           depth=depth, width=width)
     loss_fn = step_fn.loss_fn
+    model = step_fn.model
 
     loss_only = jax.jit(
         lambda p, bs, b: loss_fn(p, bs, b)[0])
     loss_grad = jax.jit(
         lambda p, bs, b: jax.value_and_grad(loss_fn, has_aux=True)(p, bs, b))
 
+    def model_sum(p, bs, b):
+        # train-mode off_pipe returns the per-level raw head outputs (list)
+        out, _ = model.apply(
+            {"params": p, "batch_stats": bs}, b["images"], mode="off_pipe",
+            train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(o.astype(jnp.float32))
+                   for o in jax.tree_util.tree_leaves(out))
+
+    model_fwd = jax.jit(model_sum)
+    model_grad = jax.jit(jax.grad(model_sum))
+
     results = {}
     for tag, fn, fetch in (
+        ("model_fwd", model_fwd, lambda r: float(r)),
+        ("model_bwd", model_grad,
+         lambda r: float(jax.tree_util.tree_leaves(r)[0].reshape(-1)[0])),
         ("loss_fwd", loss_only, lambda r: float(r)),
         ("loss_bwd", loss_grad, lambda r: float(r[0][0])),
     ):
         out = fn(state.params, state.batch_stats, batch_d)  # compile + warm
         fetch(out)
+        cost = _cost(fn, state.params, state.batch_stats, batch_d)
         holder = {"out": None}
 
         def dispatch():
@@ -368,12 +424,19 @@ def bench_train_parts(batch: int, n_samples: int, remat: bool = False,
         step_s = _timed_samples(
             dispatch, lambda: fetch(holder["out"]), n_samples, R)
         name = (
-            f"train_parts_{tag}_b{batch}"
+            f"train_parts_{_size_tag(depth, width)}_{tag}_b{batch}"
             + ("_remat" if remat else "")
             + ("" if packed else "_raw")
         )
-        _report(name, step_s * 1e3, "step")
-        results[name] = {"ms_per_step": round(step_s * 1e3, 1)}
+        roof = _roofline(cost, step_s)
+        _report(name, step_s * 1e3, "step", f"; {roof}" if roof else "")
+        results[name] = {
+            "ms_per_step": round(step_s * 1e3, 1),
+            "tflops": (round(cost["flops"] / 1e12, 3)
+                       if cost["flops"] else None),
+            "gbytes": (round(cost["bytes"] / 1e9, 2)
+                       if cost["bytes"] else None),
+        }
     return results
 
 
@@ -386,28 +449,33 @@ def main():
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-packed", action="store_true")
-    p.add_argument("--depth", type=float, default=1.0)
-    p.add_argument("--width", type=float, default=1.0)
+    p.add_argument("--depth", type=float, default=None,
+                   help="model depth (eval benches default 1.0, train 0.33)")
+    p.add_argument("--width", type=float, default=None,
+                   help="model width (eval benches default 1.0, train 0.50)")
     args = p.parse_args()
+    eval_d, eval_w = args.depth or 1.0, args.width or 1.0
+    train_d, train_w = args.depth or 0.33, args.width or 0.50
 
     results = {}
     if args.which == "train_parts":
         results.update(bench_train_parts(
             args.batch or 16, args.samples, remat=args.remat,
-            packed=not args.no_packed))
+            packed=not args.no_packed, depth=train_d, width=train_w))
     if args.which in ("stream_fp32", "all"):
         results.update(bench_stream("fp32", args.batch or 1, args.samples))
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
         results.update(bench_eval_fwd(args.batch or 8, args.samples,
-                                      depth=args.depth, width=args.width))
+                                      depth=eval_d, width=eval_w))
     if args.which in ("eval_dedup", "all"):
         results.update(bench_eval_dedup(args.batch or 8, args.samples,
-                                        depth=args.depth, width=args.width))
+                                        depth=eval_d, width=eval_w))
     if args.which in ("train_s", "all"):
         results.update(bench_train(args.batch or 16, args.samples,
-                                   remat=args.remat))
+                                   remat=args.remat, depth=train_d,
+                                   width=train_w))
     print(json.dumps(results))
 
 
