@@ -12,8 +12,9 @@ bytes-accessed estimate works). Output: traffic grouped by opcode, the top
 instructions, and a conv-shape census of forward vs backward convolutions
 (backward = dgrad/wgrad shapes, recognizable by reversed/dilated windows).
 
-Usage: python tools/analyze_hlo.py {train,model_bwd,eval} [--batch N]
+Usage: python tools/analyze_hlo.py {train,model_bwd,eval,stream} [--batch N]
        [--depth D] [--width W] [--top N] [--dump FILE]
+(``stream`` = the single-frame on_pipe + fixed-NMS program bench.py times)
 """
 
 from __future__ import annotations
@@ -196,7 +197,7 @@ def _get_hlo(which: str, batch: int, depth: float, width: float) -> str:
         return g.lower(
             state.params, state.batch_stats, batch_d).compile().as_text()
 
-    # eval forward
+    # eval / stream forward
     import jax.numpy as jnp
 
     from tools.bench_suite import _build_model
@@ -205,6 +206,25 @@ def _get_hlo(which: str, batch: int, depth: float, width: float) -> str:
     variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
         mode="off_pipe", train=False)
+    if which == "stream":
+        # the bench.py / TPUStreamDetector per-frame program: uint8 cast,
+        # on_pipe forward with the carried DFP buffer, decode, fixed NMS
+        from streamyolo_tpu.ops.nms import postprocess_fixed
+
+        def step(v, image, buffer):
+            x = image.astype(jnp.bfloat16)
+            preds, new_buf = model.apply(v, x, buffer=buffer, mode="on_pipe")
+            return postprocess_fixed(
+                preds, num_classes=8, conf_thre=0.01, nms_thre=0.65,
+                pre_nms_topk=200), new_buf
+
+        img = np.zeros((1, 600, 960, 3), np.uint8)
+        _, buf = jax.eval_shape(
+            lambda v, x: model.apply(v, x, mode="on_pipe"), variables,
+            img.astype(np.float32))
+        buf = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), buf)
+        return jax.jit(step).lower(variables, img, buf).compile().as_text()
     fwd = jax.jit(lambda v, x: model.apply(v, x, mode="off_pipe", train=False))
     x = np.zeros((batch, 600, 960, 6), np.float32)
     return fwd.lower(variables, x).compile().as_text()
@@ -212,7 +232,7 @@ def _get_hlo(which: str, batch: int, depth: float, width: float) -> str:
 
 def main():
     p = argparse.ArgumentParser("train-step HLO traffic analysis")
-    p.add_argument("which", choices=["train", "model_bwd", "eval"])
+    p.add_argument("which", choices=["train", "model_bwd", "eval", "stream"])
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--depth", type=float, default=0.33)
     p.add_argument("--width", type=float, default=0.50)
