@@ -216,3 +216,49 @@ def test_selftest_pallas_cli_interpret(monkeypatch, capsys):
     assert sp.main() == 0
     out = capsys.readouterr().out
     assert "NMS OK" in out and "preproc OK" in out
+
+
+def test_analyze_hlo_parser_and_tile_padding(capsys):
+    """tools/analyze_hlo.py core: physical shape bytes honor the (8,128)
+    tile padding of the two minor dims, ENTRY parsing attributes reads to
+    producers, and analyze() renders the census from raw HLO text."""
+    import importlib
+
+    ah = importlib.import_module("analyze_hlo")
+
+    # logical 16*300*480*48*2B = 221 MB; physical pads 48 -> 128 lanes
+    padded = ah.shape_bytes("bf16[16,300,480,48]{3,2,1,0:T(8,128)(2,1)}")
+    assert padded == 16 * 300 * 480 * 128 * 2
+    # a 128-channel tensor is already lane-exact
+    exact = ah.shape_bytes("bf16[16,300,480,128]{3,2,1,0:T(8,128)(2,1)}")
+    assert exact == 16 * 300 * 480 * 128 * 2
+    # the sublane dim (second-minor) pads to 8
+    sub = ah.shape_bytes("f32[4,3]{1,0:T(8,128)}")
+    assert sub == 8 * 128 * 4
+    # no layout: logical bytes; tuples sum their elements
+    assert ah.shape_bytes("f32[2,2]") == 16
+    assert ah.shape_bytes("(f32[2,2], bf16[4])") == 16 + 8
+
+    hlo = """
+HloModule jit_step
+
+ENTRY %main (p0: bf16[1,8,128]) -> bf16[1,8,128] {
+  %p0 = bf16[1,8,128]{2,1,0:T(8,128)(2,1)} parameter(0)
+  %fusion.1 = bf16[1,8,128]{2,1,0:T(8,128)(2,1)} fusion(%p0), kind=kLoop, calls=%fused_add, backend_config={"flag_configs":[],"fusion_config":{"estimated_cycles":"9400"}}
+  %conv.2 = bf16[1,8,128]{2,1,0:T(8,128)(2,1)} convolution(%fusion.1, %p0), window={size=1x1}, dim_labels=b01f_01io->b01f, backend_config={"fusion_config":{"estimated_cycles":"18800"}}
+  ROOT %copy.3 = bf16[1,8,128]{2,1,0:T(8,128)(2,1)} copy(%conv.2)
+}
+"""
+    entry = ah.parse_entry(hlo)
+    by_name = {e[0]: e for e in entry}
+    assert set(by_name) == {"p0", "fusion.1", "conv.2", "copy.3"}
+    name, opcode, rbytes, operands, cycles, _ = by_name["fusion.1"]
+    assert opcode == "fusion" and rbytes == 8 * 128 * 2 and cycles == 9400
+    assert operands[0] == "p0"
+    assert by_name["conv.2"][1] == "convolution"
+    assert by_name["conv.2"][3] == ["fusion.1", "p0"]
+
+    ah.analyze(hlo, top=5)
+    out = capsys.readouterr().out
+    assert "traffic / est-time by opcode" in out
+    assert "convolution census (1 top-level convs" in out
