@@ -72,6 +72,14 @@ __all__ = [
     "shard_batch",
 ]
 
+from streamyolo_tpu.parallel.spatial import (
+    SPATIAL_AXIS,
+    make_spatial_mesh,
+    row_sharding,
+)
+
+__all__ += ["SPATIAL_AXIS", "make_spatial_mesh", "row_sharding"]
+
 from streamyolo_tpu.parallel.multihost import (
     all_gather_objects,
     get_rank,

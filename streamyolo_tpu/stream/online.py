@@ -51,12 +51,17 @@ class TPUStreamDetector:
         pre_nms_topk: int = 200,
         use_bf16: bool = True,
         device_preproc: bool = False,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
 
         from streamyolo_tpu.ops.nms import postprocess_fixed
 
+        if mesh is not None and device_preproc:
+            raise ValueError(
+                "device_preproc uses a Pallas kernel that is not mesh-"
+                "partitioned; use the host preproc path with a spatial mesh")
         self.input_size = input_size
         self.in_scale = in_scale
         self.conf_thre = conf_thre
@@ -87,10 +92,33 @@ class TPUStreamDetector:
             )
             return dets, new_buffer
 
-        # star (first frame) and steady-state (donated buffer) programs
-        self._step_star = jax.jit(_step)
-        self._step_buf = jax.jit(_step, donate_argnums=2)
-        self._device_put = jax.device_put
+        if mesh is not None and mesh.devices.size > 1:
+            # Spatial latency mode: one frame's rows sliced over the mesh
+            # (parallel/spatial.py). Only the INPUT image carries an explicit
+            # sharding (device_put is strict: H must divide by the mesh size
+            # — true for 600x960 on 2/4/8 chips); GSPMD propagates it through
+            # the step, padding the uneven pyramid levels internally, and
+            # picks the carried buffer's sharding itself (feeding it back is
+            # consistent: the same program runs every steady-state step).
+            # Donation of a multi-partition carry is gated off (same class
+            # of restriction as trainer._donation_safe); the buffer is a
+            # few MB, so the copy is noise next to the backbone.
+            from streamyolo_tpu.parallel.spatial import replicated, row_sharding
+
+            n = int(mesh.devices.size)
+            if input_size[0] % n:
+                raise ValueError(
+                    f"spatial mesh of {n} devices needs input H divisible "
+                    f"by {n}, got {input_size[0]}")
+            repl, rows = replicated(mesh), row_sharding(mesh)
+            self.variables = jax.device_put(self.variables, repl)
+            self._step_star = self._step_buf = jax.jit(_step)
+            self._device_put = lambda x: jax.device_put(x, rows)
+        else:
+            # star (first frame) and steady-state (donated buffer) programs
+            self._step_star = jax.jit(_step)
+            self._step_buf = jax.jit(_step, donate_argnums=2)
+            self._device_put = jax.device_put
 
     def reset(self):
         self._buffer = None

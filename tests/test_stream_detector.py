@@ -107,3 +107,50 @@ def test_stream_detector_through_protocol(tiny_detector, fake_argoverse, tmp_pat
     # pairing runs end-to-end (untrained model: summary may be None)
     streaming_eval(db, out_dir, fps=30.0, eta=0, overwrite=True)
     assert os.path.isfile(os.path.join(out_dir, "eval_assoc.pkl"))
+
+
+def test_spatial_mesh_matches_single_device(tiny_model):
+    """Latency-mode spatial sharding (parallel/spatial.py): the same frame
+    sequence through a 2-device H-sharded step must reproduce the
+    single-device detections exactly — halo-exchanged convs are work
+    division, not approximation."""
+    import jax
+
+    from streamyolo_tpu.parallel.spatial import make_spatial_mesh
+
+    mesh = make_spatial_mesh(jax.devices()[:2])  # input H=30: 2 | 30
+    det_ref = _make_detector(tiny_model)
+    det_sp = _make_detector(tiny_model, mesh=mesh)
+    rs = np.random.RandomState(1)
+    for _ in range(3):  # star frame, then two buffer-carrying steps
+        frame = rs.randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
+        b0, s0, l0, _ = det_ref(frame)
+        b1, s1, l1, _ = det_sp(frame)
+        assert b0.shape == b1.shape
+        np.testing.assert_allclose(b1, b0, rtol=0, atol=1e-4)
+        np.testing.assert_allclose(s1, s0, rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(l1, l0)
+    # the carried buffer lives on the mesh (GSPMD-chosen sharding)
+    for leaf in jax.tree_util.tree_leaves(det_sp._buffer):
+        assert len(leaf.sharding.device_set) == 2
+
+
+def test_spatial_mesh_rejects_indivisible_height(tiny_model):
+    import jax
+
+    from streamyolo_tpu.parallel.spatial import make_spatial_mesh
+
+    with pytest.raises(ValueError, match="divisible"):
+        _make_detector(tiny_model, mesh=make_spatial_mesh(jax.devices()[:4]))
+
+
+def test_spatial_mesh_rejects_device_preproc(tiny_model):
+    import jax
+
+    from streamyolo_tpu.parallel.spatial import make_spatial_mesh
+
+    with pytest.raises(ValueError, match="spatial mesh"):
+        _make_detector(
+            tiny_model, mesh=make_spatial_mesh(jax.devices()[:2]),
+            device_preproc=True,
+        )
