@@ -54,6 +54,18 @@ class BaseConv(nn.Module):
     Equivalent capability to yolox ``BaseConv`` (SURVEY.md §2.3). Padding is
     the torch convention ``(ksize - 1) // 2`` so spatial dims follow
     ``ceil(H / stride)`` exactly like the reference.
+
+    Two optional serving hooks (``streamyolo_tpu.quant.ptq``):
+
+      * calibration — when a mutable ``'calib'`` collection is present, the
+        block sows its input absmax (a static Python check, so the normal
+        apply compiles nothing extra);
+      * int8 — when the ``'quant'`` collection carries ``kernel_q`` (int8
+        HWIO) + ``w_scale`` (per-out-channel) + ``act_scale`` (per-tensor)
+        for this block, the conv runs as an int8xint8->int32 MXU conv with
+        the dequant multiply in the epilogue, replacing the bf16/f32
+        ``nn.Conv``. BN (identity-with-bias after folding) and the
+        activation stay in ``self.dtype``.
     """
 
     out_channels: int
@@ -66,17 +78,28 @@ class BaseConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pad = (self.ksize - 1) // 2
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=(self.ksize, self.ksize),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        # not during init: every collection is mutable there, and the sown
+        # scalar would pollute the canonical variables tree
+        if not self.is_initializing() and self.is_mutable_collection("calib"):
+            self.sow(
+                "calib", "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "kernel_q"):
+            x = self._int8_conv(x, pad)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(self.ksize, self.ksize),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -86,6 +109,29 @@ class BaseConv(nn.Module):
             name="bn",
         )(x)
         return get_activation(self.act)(x)
+
+    def _int8_conv(self, x: jax.Array, pad: int) -> jax.Array:
+        """Symmetric int8 conv: x/act_scale and kernel_q are int8, the MXU
+        accumulates int32, and the combined (act_scale * w_scale[c]) dequant
+        rides the epilogue. ``quant/ptq.py`` builds the collection."""
+        kq = self.get_variable("quant", "kernel_q")
+        w_scale = self.get_variable("quant", "w_scale")
+        act_scale = self.get_variable("quant", "act_scale")
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+        ).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, kq.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            xq, kq,
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=dn,
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (act_scale * w_scale)).astype(self.dtype)
 
 
 class DWConv(nn.Module):

@@ -1,0 +1,167 @@
+"""Int8 PTQ serving path (streamyolo_tpu.quant): arithmetic-contract
+exactness on the quantization grid, end-to-end mechanics on the real model,
+and the skip/strip controls."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _single_conv_model(groups: int = 1, ksize: int = 3, out: int = 8):
+    from streamyolo_tpu.nn.blocks import BaseConv
+
+    return BaseConv(out_channels=out, ksize=ksize, groups=groups, act="silu")
+
+
+def _grid_inputs(rng, shape, k_shape):
+    """Inputs/kernel already ON the symmetric-int8 grid: input ints with
+    absmax 127 (=> act_scale 1), per-out-channel kernel ints with absmax 127
+    (=> w_scale 1) — the int8 path must then reproduce the fp conv exactly."""
+    x = rng.integers(-127, 128, size=shape).astype(np.float32)
+    x.reshape(-1)[0] = 127.0  # pin the absmax so act_scale == 1
+    k = rng.integers(-127, 128, size=k_shape).astype(np.float32)
+    k[0, 0, 0, :] = 127.0  # pin each out-channel's absmax so w_scale == 1
+    return x, k
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+def test_int8_conv_exact_on_grid(groups):
+    from streamyolo_tpu.quant import calibrate_activations, quantize_variables
+
+    rng = np.random.default_rng(0)
+    in_ch = 4
+    model = _single_conv_model(groups=groups, out=8)
+    x, k = _grid_inputs(rng, (2, 6, 6, in_ch), (3, 3, in_ch // groups, 8))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.device_get(variables)
+    variables["params"]["conv"]["kernel"] = k
+
+    absmax = calibrate_activations(model, variables, [x])
+    qvars = quantize_variables(variables, absmax)
+    assert qvars["quant"]["act_scale"] == pytest.approx(1.0)
+    np.testing.assert_array_equal(
+        np.asarray(qvars["quant"]["kernel_q"], np.float32), k)
+
+    ref = model.apply(qvars_no_quant(qvars), x)
+    out = model.apply(qvars, x)
+    # on-grid operands: only fp32-accumulation rounding of the REFERENCE
+    # conv separates the two (the int32 accumulate is exact; a cancelling
+    # sum of ~1e4-magnitude partials leaves ~1e-3 absolute noise in fp32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-2)
+
+
+def qvars_no_quant(qvars):
+    return {k: v for k, v in qvars.items() if k != "quant"}
+
+
+def test_int8_conv_quantizes_offgrid_inputs():
+    """Off-grid inputs: the int8 output must match the fp conv of the
+    explicitly-rounded operands — the documented symmetric-quant contract."""
+    from streamyolo_tpu.quant import calibrate_activations, quantize_variables
+
+    rng = np.random.default_rng(1)
+    model = _single_conv_model(out=8)
+    x = rng.normal(0, 1.5, size=(2, 6, 6, 4)).astype(np.float32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+
+    absmax = calibrate_activations(model, variables, [x])
+    qvars = quantize_variables(variables, absmax)
+    s = float(qvars["quant"]["act_scale"])
+    assert s == pytest.approx(np.abs(x).max() / 127.0, rel=1e-6)
+
+    # hand-rolled contract
+    xq = np.clip(np.round(x / s), -127, 127)
+    kq = np.asarray(qvars["quant"]["kernel_q"], np.float32)
+    ws = np.asarray(qvars["quant"]["w_scale"])
+    dn = jax.lax.conv_dimension_numbers(x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) * (s * ws)
+    # compare pre-activation: push both through the (identity-after-fold) BN+act
+    got = model.apply(qvars, x)
+    bnb = np.asarray(qvars["params"]["bn"]["bias"])
+    want = jax.nn.silu(
+        (np.asarray(want) - 0.0) / np.sqrt(1.0) + bnb)  # fused BN: y + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_stream_model():
+    from streamyolo_tpu.models import DFPPAFPN, StreamYOLO, TALHead
+
+    model = StreamYOLO(
+        backbone=DFPPAFPN(depth=0.33, width=0.25, packed=False),
+        head=TALHead(num_classes=8, width=0.25),
+    )
+    x6 = np.random.default_rng(2).uniform(0, 255, (1, 32, 48, 6)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(0), x6, mode="off_pipe", train=False))
+    return model, variables, x6
+
+
+def test_quantize_full_model_mechanics(tiny_stream_model):
+    from streamyolo_tpu.quant import quantize_for_serving
+
+    model, variables, x6 = tiny_stream_model
+    rng = np.random.default_rng(3)
+    batches = [rng.uniform(0, 255, x6.shape).astype(np.float32) for _ in range(2)]
+    qvars = quantize_for_serving(model, variables, batches)
+
+    n_q = len([
+        p for p in jax.tree_util.tree_leaves_with_path(qvars["quant"])
+        if p[0][-1].key == "kernel_q"
+    ])
+    assert n_q > 20  # every CBS conv in backbone+head neck
+
+    fp = np.asarray(model.apply(variables, x6, mode="off_pipe", train=False))
+    q8 = np.asarray(model.apply(qvars, x6, mode="off_pipe", train=False))
+    assert q8.shape == fp.shape
+    assert np.isfinite(q8).all()
+    # int8 is approximate — require agreement in the bulk, not bitwise
+    denom = max(1e-6, float(np.std(fp)))
+    assert np.median(np.abs(q8 - fp)) / denom < 0.15
+
+    # the streaming mode consumes the same collection (buffer carry)
+    outs, buf = model.apply(qvars, x6[..., :3], mode="on_pipe")
+    outs2, _ = model.apply(qvars, x6[..., :3], buffer=buf, mode="on_pipe")
+    assert np.isfinite(np.asarray(outs2)).all()
+
+
+def test_quantize_skip_and_strip(tiny_stream_model):
+    from streamyolo_tpu.quant import calibrate_activations, quantize_variables
+
+    model, variables, x6 = tiny_stream_model
+    absmax = calibrate_activations(model, variables, [x6])
+
+    skipped = quantize_variables(variables, absmax, skip=[r"head"])
+    assert "head" not in skipped["quant"]
+
+    stripped = quantize_variables(variables, absmax, strip=True)
+    kernels = [
+        np.asarray(leaf)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(stripped["params"])
+        if p[-1].key == "kernel" and p[-2].key == "conv"
+    ]
+    assert any(k.shape == (1, 1, 1, 1) for k in kernels)
+    # packed=False model still runs end-to-end with the stripped kernels
+    out = model.apply(stripped, x6, mode="off_pipe", train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantized_stream_detector(tiny_stream_model):
+    from streamyolo_tpu.quant import quantize_for_serving
+    from streamyolo_tpu.stream import TPUStreamDetector
+
+    model, variables, x6 = tiny_stream_model
+    qvars = quantize_for_serving(model, variables, [x6])
+    det = TPUStreamDetector(
+        model, qvars, input_size=(32, 48), conf_thre=0.05, nms_thre=0.5,
+        num_classes=8, pre_nms_topk=16, use_bf16=False,
+    )
+    frame = np.random.default_rng(4).integers(
+        0, 255, (32, 48, 3)).astype(np.uint8)
+    bboxes, scores, labels, _ = det(frame, preprocessed=True)
+    det(frame, preprocessed=True)  # buffer-carrying step
+    assert len(bboxes) == len(scores) == len(labels)
