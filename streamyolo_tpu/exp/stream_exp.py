@@ -56,6 +56,10 @@ class StreamExp(BaseExp):
         # compute dtype for the conv trunk (bf16 = TPU mixed precision;
         # params/BN stats stay fp32)
         self.compute_dtype = "float32"
+        # phase-packed execution of the narrow stages (nn/packed.py) —
+        # weight-invariant, bit-identical; turn off for raw-layout debugging
+        # or for a fully-int8 backbone (quant/ptq.py strip semantics)
+        self.packed = True
 
     # ---------------- model ----------------
 
@@ -69,7 +73,8 @@ class StreamExp(BaseExp):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         in_channels = (256, 512, 1024)
         backbone = DFPPAFPN(
-            self.depth, self.width, in_channels=in_channels, act=self.act, dtype=dtype
+            self.depth, self.width, in_channels=in_channels, act=self.act,
+            dtype=dtype, packed=self.packed,
         )
         head_cls = TALHead if self.head_name == "tal" else PIPEHead
         head_kw: dict = {}

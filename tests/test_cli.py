@@ -262,3 +262,22 @@ ENTRY %main (p0: bf16[1,8,128]) -> bf16[1,8,128] {
     out = capsys.readouterr().out
     assert "traffic / est-time by opcode" in out
     assert "convolution census (1 top-level convs" in out
+
+
+def test_eval_cli_int8_speed_mode(tmp_path, monkeypatch):
+    """--int8 --speed: calibrates on the synthetic batch, quantizes, and
+    times the int8 forward — the CLI wiring of quant/ptq.py."""
+    import importlib
+
+    eval_mod = importlib.import_module("eval")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval.py", "-f", os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py"),
+         "-b", "1", "--speed", "--int8", "--tsize", "64", "96",
+         "output_dir", str(tmp_path), "packed", "False"],
+    )
+    eval_mod.main()
+    log = open(os.path.join(
+        str(tmp_path), "s_s50_onex_dfp_tal_flip", "val_log.txt")).read()
+    assert "int8 PTQ" in log
+    assert "speed test:" in log

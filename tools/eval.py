@@ -37,6 +37,16 @@ def make_parser():
                              "unique video frame (support features ride an "
                              "HBM carry); ~2x faster, bit-identical output; "
                              "onex + single-process only")
+    parser.add_argument("--int8", dest="int8", default=False, action="store_true",
+                        help="int8 PTQ serving path (quant/ptq.py): fold BN, "
+                             "calibrate activation scales on val batches, run "
+                             "the CBS convs int8 on the MXU. Phase-packed "
+                             "stages keep bf16/f32 kernels; add 'packed False' "
+                             "to the opts for a fully-int8 backbone. Validate "
+                             "accuracy before shipping: int8 is approximate")
+    parser.add_argument("--calib-batches", type=int, default=8,
+                        help="number of val batches observed by --int8 "
+                             "calibration (absmax)")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--test", dest="test", default=False, action="store_true",
                         help="evaluate on test split")
@@ -99,11 +109,36 @@ def main():
         variables = merge_variables(variables, ckpt["model"], strict=not args.tolerant)
         logger.info("loaded checkpoint done.")
 
-    if args.fuse:
+    if args.fuse and not args.int8:
         from streamyolo_tpu.utils.fuse import fuse_model_variables
 
         logger.info("\tFusing conv+BN...")
         variables = fuse_model_variables(variables)
+
+    evaluator = None
+    if args.int8:
+        import itertools
+
+        import numpy as np
+
+        from streamyolo_tpu.quant import quantize_for_serving
+
+        if args.speed:
+            # no dataset in speed mode: calibrate on the synthetic batch the
+            # speed loop will time (same distribution, same shapes)
+            h, w = exp.test_size
+            calib = [np.random.RandomState(0).randint(
+                0, 255, (args.batch_size, h, w, 6)).astype(np.float32)]
+        else:
+            evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
+            calib = [
+                batch[0]
+                for batch in itertools.islice(
+                    iter(evaluator.dataloader), max(1, args.calib_batches))
+            ]
+        logger.info(
+            f"\tint8 PTQ: folding BN + calibrating on {len(calib)} batches...")
+        variables = quantize_for_serving(model, variables, calib)
 
     forward_fn = exp.get_forward_fn(model, variables)
 
@@ -142,7 +177,8 @@ def main():
         )
         return
 
-    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
+    if evaluator is None:
+        evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
     if args.dedup:
         import jax
 
