@@ -184,6 +184,45 @@ def bench_stream(dtype_name: str, batch: int, n_samples: int):
                    "frames_per_sec": round(fps, 1)}}
 
 
+def bench_stream_int8(batch: int, n_samples: int):
+    """The streaming step with the int8 PTQ serving path (quant/ptq.py):
+    raw layout (packed=False, so every CBS conv runs int8 on the MXU,
+    strip=True drops the f32 kernels), synthetic calibration. Compare with
+    stream_l_bf16 for the int8 speedup on the headline step."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.quant import quantize_for_serving
+
+    model = _build_model(depth=1.0, width=1.0, dtype=jnp.bfloat16,
+                         packed=False)
+    variables = jax.device_get(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 96, 3), np.float32),
+        mode="off_pipe", train=False,
+    ))
+    calib = [np.random.RandomState(1).randint(
+        0, 255, (1, 600, 960, 6)).astype(np.float32)]
+    qvars = jax.device_put(
+        quantize_for_serving(model, variables, calib, strip=True))
+    chain, image, buf = _stream_chain(jax, jnp, model, qvars, batch, jnp.bfloat16)
+
+    state = {"buf": buf, "acc": None}
+
+    def dispatch():
+        for _ in range(R):
+            state["buf"], state["acc"] = chain(qvars, image, state["buf"])
+
+    step_s = _timed_samples(
+        dispatch, lambda: float(state["acc"]), n_samples, R * K
+    )
+    fps = batch / step_s
+    name = f"stream_l_int8_b{batch}"
+    _report(name, step_s * 1e3, "step",
+            f"; {fps:.0f} frames/s/chip ({fps/30:.1f}x the 30 FPS V100 bar)")
+    return {name: {"ms_per_step": round(step_s * 1e3, 3),
+                   "frames_per_sec": round(fps, 1)}}
+
+
 def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
                    width: float = 1.0):
     """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS."""
@@ -443,8 +482,8 @@ def bench_train_parts(batch: int, n_samples: int, remat: bool = False,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=[
-        "stream_fp32", "serve8", "eval_fwd", "eval_dedup", "train_s",
-        "train_parts", "all"])
+        "stream_fp32", "stream_int8", "serve8", "eval_fwd", "eval_dedup",
+        "train_s", "train_parts", "all"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
@@ -464,6 +503,8 @@ def main():
             packed=not args.no_packed, depth=train_d, width=train_w))
     if args.which in ("stream_fp32", "all"):
         results.update(bench_stream("fp32", args.batch or 1, args.samples))
+    if args.which == "stream_int8":
+        results.update(bench_stream_int8(args.batch or 1, args.samples))
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
