@@ -224,18 +224,29 @@ def bench_stream_int8(batch: int, n_samples: int):
 
 
 def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
-                   width: float = 1.0):
-    """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS."""
+                   width: float = 1.0, int8: bool = False):
+    """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS.
+    With ``int8`` the CBS convs run the PTQ path (raw layout, stripped f32
+    kernels, synthetic calibration) — the MFU here is the highest of any
+    program, so this is int8's best case."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from streamyolo_tpu.ops.nms import postprocess_fixed
 
-    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16)
-    variables = jax.device_put(model.init(
+    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16,
+                         packed=not int8)
+    variables = jax.device_get(model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
         mode="off_pipe", train=False,
     ))
+    if int8:
+        from streamyolo_tpu.quant import quantize_for_serving
+
+        calib = [np.random.RandomState(1).randint(
+            0, 255, (1, 600, 960, 6)).astype(np.float32)]
+        variables = quantize_for_serving(model, variables, calib, strip=True)
+    variables = jax.device_put(variables)
 
     @jax.jit
     def step(v, x):
@@ -263,7 +274,7 @@ def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
     if flops:
         mfu = flops / step_s / V5E_BF16_PEAK
         extra += f"; {flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.0f}%"
-    tag = f"eval_fwd_d{depth}_w{width}_b{batch}"
+    tag = f"eval_fwd_d{depth}_w{width}_b{batch}" + ("_int8" if int8 else "")
     _report(tag, step_s * 1e3, "batch", extra)
     return {tag: {
         "ms_per_batch": round(step_s * 1e3, 2),
@@ -488,6 +499,8 @@ def main():
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-packed", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="eval_fwd only: int8 PTQ path (raw layout)")
     p.add_argument("--depth", type=float, default=None,
                    help="model depth (eval benches default 1.0, train 0.33)")
     p.add_argument("--width", type=float, default=None,
@@ -509,7 +522,8 @@ def main():
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
         results.update(bench_eval_fwd(args.batch or 8, args.samples,
-                                      depth=eval_d, width=eval_w))
+                                      depth=eval_d, width=eval_w,
+                                      int8=args.int8))
     if args.which in ("eval_dedup", "all"):
         results.update(bench_eval_dedup(args.batch or 8, args.samples,
                                         depth=eval_d, width=eval_w))
