@@ -87,6 +87,12 @@ class BaseConv(nn.Module):
                 init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
             )
         if self.has_variable("quant", "kernel_q"):
+            if train:
+                raise ValueError(
+                    "int8 PTQ variables are serving-only: the round/clip "
+                    "in the quantized conv has zero gradient, so training "
+                    "through it would silently learn nothing — fine-tune "
+                    "with the fp variables and re-quantize")
             x = self._int8_conv(x, pad)
         else:
             x = nn.Conv(

@@ -281,3 +281,40 @@ def test_eval_cli_int8_speed_mode(tmp_path, monkeypatch):
         str(tmp_path), "s_s50_onex_dfp_tal_flip", "val_log.txt")).read()
     assert "int8 PTQ" in log
     assert "speed test:" in log
+
+
+def test_eval_cli_int8_full_eval(fake_argoverse, tmp_path, monkeypatch):
+    """--int8 without --speed: calibrates on real val batches (the loader is
+    iterated once for calibration and again for the eval) and completes a
+    full COCOeval with the quantized forward."""
+    import importlib
+    import pickle
+
+    from tests.conftest import FAKE_IMG_SIZE
+
+    from streamyolo_tpu.exp import get_exp
+
+    opts = ["data_num_workers", "0", "data_dir", fake_argoverse,
+            "input_size", repr(tuple(FAKE_IMG_SIZE)),
+            "test_size", repr(tuple(FAKE_IMG_SIZE)),
+            "width", "0.25", "packed", "False",
+            "output_dir", str(tmp_path)]
+    cfg = os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py")
+    exp = get_exp(cfg)
+    exp.merge(opts)
+    variables = exp.init_model(exp.get_model())
+    ckpt = tmp_path / "w.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": variables}, f)
+
+    eval_mod = importlib.import_module("eval")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["eval.py", "-f", cfg, "-b", "4", "-c", str(ckpt),
+         "--int8", "--calib-batches", "1"] + opts,
+    )
+    eval_mod.main()
+    log = open(os.path.join(
+        str(tmp_path), "s_s50_onex_dfp_tal_flip", "val_log.txt")).read()
+    assert "int8 PTQ" in log
+    assert "AP:" in log
