@@ -57,8 +57,9 @@ class StreamExp(BaseExp):
         # params/BN stats stay fp32)
         self.compute_dtype = "float32"
         # phase-packed execution of the narrow stages (nn/packed.py) —
-        # weight-invariant, bit-identical; turn off for raw-layout debugging
-        # or for a fully-int8 backbone (quant/ptq.py strip semantics)
+        # weight-invariant, bit-identical; turn off only for raw-layout
+        # debugging (int8 PTQ quantizes the packed layout natively and is
+        # FASTER there — narrow raw int8 convs pay relayout copies)
         self.packed = True
 
     # ---------------- model ----------------

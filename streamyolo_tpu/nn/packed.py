@@ -202,11 +202,14 @@ def phase_conv(
     packed_out: bool,
     dtype: Any,
     in_perm: Optional[Tuple[int, ...]] = None,
+    preferred_acc: Optional[Any] = None,
 ) -> jax.Array:
     """Apply the raw conv (kernel, stride, symmetric low pad ``pad``) over
     packed operands, reproducing the raw ``nn.Conv`` output geometry
     (per-axis raw output length = ceil(raw_in / stride)). Pack specs are
-    per-axis (bool or (H, W) tuple)."""
+    per-axis (bool or (H, W) tuple). ``preferred_acc`` forwards to the
+    convolution's ``preferred_element_type`` (int8 x int8 -> int32 for the
+    PTQ serving path)."""
     pin, pout = _pair(packed_in), _pair(packed_out)
     k_eff, stride_eff, pad_lo = _gather_kernel(
         kernel, stride, pad, pin, pout
@@ -241,6 +244,7 @@ def phase_conv(
         stride_eff,
         pad_hw,
         dimension_numbers=dn,
+        preferred_element_type=preferred_acc,
     )
     assert y.shape[-3:-1] == tuple(out_hw), (y.shape, out_hw)
     return y
@@ -329,7 +333,20 @@ class PackedBatchNorm(nn.Module):
 class PackedConvBN(nn.Module):
     """``BaseConv`` twin on packed activations: identical child names
     ("conv" kernel + "bn"), conv swapped for :class:`PhaseConv` and BN for
-    :class:`PackedBatchNorm` when the output stays packed."""
+    :class:`PackedBatchNorm` when the output stays packed.
+
+    Carries the same two serving hooks as ``BaseConv`` (see
+    ``streamyolo_tpu.quant.ptq``): a 'calib' input-absmax sow (packing
+    permutes, never mixes, the value multiset, so the observed absmax — and
+    therefore the per-tensor act_scale — is identical to the raw layout's),
+    and an int8 path when the 'quant' collection carries this block's
+    ``kernel_q``: the RAW int8 kernel is gathered over packed coordinates
+    (the tap algebra only selects/zeroes integer entries — exact), the conv
+    runs s8 x s8 -> s32 on the MXU, and the dequant rides the epilogue.
+    Running int8 on the packed layout matters beyond the MACs: XLA gives
+    narrow (C < 128) int8 convs a relayout copy on BOTH operands (s8
+    (4,1)-tiled in, s32 W-major out — measured ~43 ms of the 73 ms raw-int8
+    l eval); lane-filled packed shapes take neither."""
 
     out_channels: int
     ksize: int
@@ -342,16 +359,31 @@ class PackedConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        x = PhaseConv(
-            self.out_channels,
-            self.ksize,
-            self.stride,
-            packed_in=self.packed_in,
-            packed_out=self.packed_out,
-            in_perm=self.in_perm,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if not self.is_initializing() and self.is_mutable_collection("calib"):
+            self.sow(
+                "calib", "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "kernel_q"):
+            if train:
+                raise ValueError(
+                    "int8 PTQ variables are serving-only: the round/clip "
+                    "in the quantized conv has zero gradient, so training "
+                    "through it would silently learn nothing — fine-tune "
+                    "with the fp variables and re-quantize")
+            x = self._int8_conv(x)
+        else:
+            x = PhaseConv(
+                self.out_channels,
+                self.ksize,
+                self.stride,
+                packed_in=self.packed_in,
+                packed_out=self.packed_out,
+                in_perm=self.in_perm,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         out_factor = _factor(self.packed_out)
         if out_factor > 1:
             x = PackedBatchNorm(
@@ -367,6 +399,32 @@ class PackedConvBN(nn.Module):
                 name="bn",
             )(x)
         return get_activation(self.act)(x)
+
+    def _int8_conv(self, x: jax.Array) -> jax.Array:
+        """Symmetric int8 phase conv (the ``BaseConv._int8_conv`` twin):
+        quantize the packed input with the per-tensor act_scale, gather the
+        int8 kernel (values <= 127 are exact in the f32 einsum), convolve
+        s8 x s8 -> s32, dequantize with w_scale tiled over the ``hs`` output
+        phases (packed channel order is phase-major: h * F + f)."""
+        kq = self.get_variable("quant", "kernel_q")
+        w_scale = self.get_variable("quant", "w_scale")
+        act_scale = self.get_variable("quant", "act_scale")
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+        ).astype(jnp.int8)
+        y = phase_conv(
+            xq,
+            kq.astype(jnp.float32),
+            stride=self.stride,
+            pad=(self.ksize - 1) // 2,
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
+            dtype=jnp.int8,
+            in_perm=self.in_perm,
+            preferred_acc=jnp.int32,
+        )
+        scale = act_scale * jnp.tile(w_scale, _factor(self.packed_out))
+        return (y.astype(jnp.float32) * scale).astype(self.dtype)
 
 
 class PackedBottleneck(nn.Module):

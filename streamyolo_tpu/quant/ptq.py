@@ -20,12 +20,19 @@ Accuracy note: quantization changes the numbers (unlike every other
 transformation in this repo, which is bit-exact); validate sAP on real data
 with ``tools/validate_baseline.py`` before shipping an int8 deployment.
 
-Phase-packed interplay: CSP layers that execute phase-packed
-(``nn/packed.py``) bypass ``BaseConv`` and keep reading the (fused) f32
-kernels — correct but not int8. For a fully-int8 backbone build the model
-with ``packed=False``; ``quantize_variables(..., strip=True)`` additionally
-drops the f32 kernels of quantized convs and therefore REQUIRES that no
-packed path engages.
+Phase-packed interplay: ``PackedConvBN`` (nn/packed.py) carries the same
+calibration/int8 hooks as ``BaseConv``, gathering the RAW int8 kernel over
+packed coordinates at apply time, so packed models quantize end-to-end —
+and packed + int8 is the FAST combination: XLA gives every narrow (C < 128)
+int8 conv a relayout copy on both operands (s8 (4,1)-tiled input, s32
+W-major output), which the lane-filled packed shapes avoid entirely. The
+per-tensor act scales are layout-independent (packing permutes the value
+multiset), so a calibration observed on either layout serves both. The two
+Focus stem formulations do not sow and stay full-precision under
+``packed=True`` (in the raw layout the stem is a plain ``BaseConv`` and
+quantizes — it is also where the worst int8 relayout copies live).
+``quantize_variables(..., strip=True)`` drops the f32 kernels of quantized
+convs; unsown modules (the packed stem) keep theirs.
 """
 
 from __future__ import annotations
@@ -109,9 +116,10 @@ def quantize_variables(
     ``skip``: regexes matched against the '/'-joined module path — matching
     convs keep the full-precision path (e.g. ``skip=[r"stem"]``).
     ``strip``: replace each quantized conv's f32 kernel with a 1-element
-    placeholder to free the weight memory. Only safe when every conv the
-    model executes is quantized — i.e. the model was built with
-    ``packed=False`` — because packed bodies read the raw kernels.
+    placeholder to free the weight memory. Safe for both layouts: only
+    calibrated (sown) convs are quantized/stripped, and every consuming
+    module (``BaseConv`` raw, ``PackedConvBN`` packed) reads ``kernel_q``
+    instead of the placeholder when the 'quant' collection is present.
     """
     variables = fuse_model_variables(variables)
     skip_res = [re.compile(s) for s in skip]

@@ -150,6 +150,140 @@ def test_quantize_skip_and_strip(tiny_stream_model):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def _pack(x, spec):
+    from streamyolo_tpu.nn import packed as pk
+
+    fh, fw = pk._pair(spec)
+    if (fh, fw) == (1, 1):
+        return x
+    if (fh, fw) == (1, 2):
+        return pk.pack_w(x)
+    assert (fh, fw) == (2, 2)
+    return pk.pack2x2(x)
+
+
+@pytest.mark.parametrize(
+    "ksize,stride,packed_in,packed_out",
+    [
+        (3, 1, True, True),
+        (1, 1, True, True),
+        (3, 2, True, False),
+        (1, 1, False, (False, True)),
+        (3, 1, (False, True), (False, True)),
+        (3, 2, (False, True), False),
+    ],
+)
+def test_packed_int8_conv_matches_raw_int8(ksize, stride, packed_in, packed_out):
+    """PackedConvBN consuming the same 'quant' collection as BaseConv must
+    reproduce it: the act quantization is per-tensor (layout-independent),
+    the kernel gather only selects integer entries, and the s32 accumulate
+    is order-exact — only the f32 BN/act refactoring separates the two."""
+    from streamyolo_tpu.nn import packed as pk
+    from streamyolo_tpu.nn.blocks import BaseConv
+
+    rng = np.random.default_rng(ksize * 31 + stride)
+    c_in, c_out = 6, 8
+    x = rng.normal(0, 2.0, (2, 8, 12, c_in)).astype(np.float32)
+
+    raw = BaseConv(c_out, ksize, stride, act="silu")
+    variables = jax.device_get(raw.init(jax.random.PRNGKey(0), x))
+    kernel = np.asarray(variables["params"]["conv"]["kernel"])
+    w_scale = (np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-8)
+               / 127.0).astype(np.float32)
+    kq = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+    qvars = dict(variables)
+    qvars["quant"] = {
+        "kernel_q": kq,
+        "w_scale": w_scale,
+        "act_scale": np.float32(np.abs(x).max() / 127.0),
+    }
+
+    want = raw.apply(qvars, x)
+    pkd = pk.PackedConvBN(
+        c_out, ksize, stride, act="silu",
+        packed_in=packed_in, packed_out=packed_out,
+    )
+    got = pk.unpack(
+        pkd.apply(qvars, _pack(jnp.asarray(x), packed_in)), packed_out
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_packed_model():
+    from streamyolo_tpu.models import DFPPAFPN, StreamYOLO, TALHead
+
+    model = StreamYOLO(
+        backbone=DFPPAFPN(depth=0.33, width=0.25, packed=True),
+        head=TALHead(num_classes=8, width=0.25),
+    )
+    x6 = np.random.default_rng(5).uniform(0, 255, (1, 32, 48, 6)).astype(np.float32)
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(0), x6, mode="off_pipe", train=False))
+    return model, variables, x6
+
+
+def test_packed_model_int8_serving(tiny_packed_model):
+    """packed=True + int8: PackedConvBN convs quantize (incl. strip), the
+    unsown packed Focus stem stays fp, and both pipe modes run."""
+    from streamyolo_tpu.quant import quantize_for_serving
+
+    model, variables, x6 = tiny_packed_model
+    qvars = quantize_for_serving(model, variables, [x6], strip=True)
+
+    # a fully-packed-stage conv (dark2_0 is a PackedConvBN) is quantized...
+    dark2_0 = qvars["quant"]["backbone"]["backbone"]["dark2_0"]
+    assert dark2_0["kernel_q"].dtype == np.int8
+    # ...and the packed stem is not (it does not sow)
+    assert "stem" not in qvars["quant"]["backbone"]["backbone"]
+    stem_k = qvars["params"]["backbone"]["backbone"]["stem"]["conv"]["conv"][
+        "kernel"]
+    assert np.asarray(stem_k).size > 1  # not stripped
+
+    fp = np.asarray(model.apply(variables, x6, mode="off_pipe", train=False))
+    q8 = np.asarray(model.apply(qvars, x6, mode="off_pipe", train=False))
+    assert q8.shape == fp.shape and np.isfinite(q8).all()
+    denom = max(1e-6, float(np.std(fp)))
+    assert np.median(np.abs(q8 - fp)) / denom < 0.15
+
+    outs, buf = model.apply(qvars, x6[..., :3], mode="on_pipe")
+    outs2, _ = model.apply(qvars, x6[..., :3], buffer=buf, mode="on_pipe")
+    assert np.isfinite(np.asarray(outs2)).all()
+
+    # train through int8 variables is rejected from the packed path too
+    with pytest.raises(ValueError, match="serving-only"):
+        model.apply(qvars, x6, mode="off_pipe", train=True,
+                    mutable=["batch_stats"])
+
+
+def test_calibration_transfers_across_layouts(tiny_stream_model,
+                                              tiny_packed_model):
+    """Per-tensor act absmax is layout-independent: the packed and raw
+    executions observe the same value multiset at every sown conv input."""
+    from streamyolo_tpu.quant import calibrate_activations
+
+    raw_model, _, x6 = tiny_stream_model
+    packed_model, variables, _ = tiny_packed_model
+    raw = calibrate_activations(raw_model, variables, [x6])
+    pkd = calibrate_activations(packed_model, variables, [x6])
+
+    raw_leaves = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(raw)
+    }
+    pkd_leaves = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(pkd)
+    }
+    shared = set(raw_leaves) & set(pkd_leaves)
+    assert len(shared) > 20
+    for key in shared:
+        np.testing.assert_allclose(
+            raw_leaves[key], pkd_leaves[key], rtol=1e-5,
+            err_msg=f"calibration mismatch at {key}")
+
+
 def test_quantized_stream_detector(tiny_stream_model):
     from streamyolo_tpu.quant import quantize_for_serving
     from streamyolo_tpu.stream import TPUStreamDetector

@@ -184,18 +184,20 @@ def bench_stream(dtype_name: str, batch: int, n_samples: int):
                    "frames_per_sec": round(fps, 1)}}
 
 
-def bench_stream_int8(batch: int, n_samples: int):
-    """The streaming step with the int8 PTQ serving path (quant/ptq.py):
-    raw layout (packed=False, so every CBS conv runs int8 on the MXU,
-    strip=True drops the f32 kernels), synthetic calibration. Compare with
-    stream_l_bf16 for the int8 speedup on the headline step."""
+def bench_stream_int8(batch: int, n_samples: int, packed: bool = True):
+    """The streaming step with the int8 PTQ serving path (quant/ptq.py),
+    synthetic calibration, strip=True. ``packed`` (default) runs the
+    phase-packed layout — the fast int8 combination (narrow raw int8 convs
+    pay relayout copies on both operands, see PackedConvBN); ``--no-packed``
+    measures the raw layout (every CBS conv int8 including the stem).
+    Compare with stream_l_bf16 for the int8 effect on the headline step."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from streamyolo_tpu.quant import quantize_for_serving
 
     model = _build_model(depth=1.0, width=1.0, dtype=jnp.bfloat16,
-                         packed=False)
+                         packed=packed)
     variables = jax.device_get(model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 3), np.float32),
         mode="off_pipe", train=False,
@@ -216,7 +218,7 @@ def bench_stream_int8(batch: int, n_samples: int):
         dispatch, lambda: float(state["acc"]), n_samples, R * K
     )
     fps = batch / step_s
-    name = f"stream_l_int8_b{batch}"
+    name = f"stream_l_int8{'' if packed else '_raw'}_b{batch}"
     _report(name, step_s * 1e3, "step",
             f"; {fps:.0f} frames/s/chip ({fps/30:.1f}x the 30 FPS V100 bar)")
     return {name: {"ms_per_step": round(step_s * 1e3, 3),
@@ -224,18 +226,19 @@ def bench_stream_int8(batch: int, n_samples: int):
 
 
 def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
-                   width: float = 1.0, int8: bool = False):
+                   width: float = 1.0, int8: bool = False,
+                   packed: bool = True):
     """Offline dual-frame eval forward: off_pipe on [B,600,960,6] + NMS.
-    With ``int8`` the CBS convs run the PTQ path (raw layout, stripped f32
-    kernels, synthetic calibration) — the MFU here is the highest of any
-    program, so this is int8's best case."""
+    With ``int8`` the CBS convs run the PTQ path (stripped f32 kernels,
+    synthetic calibration); pair with the default packed layout for the
+    fast combination, or ``--no-packed`` for the raw-layout variant."""
     jax = _setup_jax()
     import jax.numpy as jnp
 
     from streamyolo_tpu.ops.nms import postprocess_fixed
 
     model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16,
-                         packed=not int8)
+                         packed=packed)
     variables = jax.device_get(model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
         mode="off_pipe", train=False,
@@ -274,7 +277,8 @@ def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
     if flops:
         mfu = flops / step_s / V5E_BF16_PEAK
         extra += f"; {flops/1e9:.0f} GFLOP/step, MFU {mfu*100:.0f}%"
-    tag = f"eval_fwd_d{depth}_w{width}_b{batch}" + ("_int8" if int8 else "")
+    tag = (f"eval_fwd_d{depth}_w{width}_b{batch}"
+           + ("_int8" if int8 else "") + ("" if packed else "_raw"))
     _report(tag, step_s * 1e3, "batch", extra)
     return {tag: {
         "ms_per_batch": round(step_s * 1e3, 2),
@@ -500,7 +504,8 @@ def main():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-packed", action="store_true")
     p.add_argument("--int8", action="store_true",
-                   help="eval_fwd only: int8 PTQ path (raw layout)")
+                   help="eval_fwd only: int8 PTQ path (packed layout by "
+                        "default; add --no-packed for the raw variant)")
     p.add_argument("--depth", type=float, default=None,
                    help="model depth (eval benches default 1.0, train 0.33)")
     p.add_argument("--width", type=float, default=None,
@@ -517,13 +522,15 @@ def main():
     if args.which in ("stream_fp32", "all"):
         results.update(bench_stream("fp32", args.batch or 1, args.samples))
     if args.which == "stream_int8":
-        results.update(bench_stream_int8(args.batch or 1, args.samples))
+        results.update(bench_stream_int8(args.batch or 1, args.samples,
+                                         packed=not args.no_packed))
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
         results.update(bench_eval_fwd(args.batch or 8, args.samples,
                                       depth=eval_d, width=eval_w,
-                                      int8=args.int8))
+                                      int8=args.int8,
+                                      packed=not args.no_packed))
     if args.which in ("eval_dedup", "all"):
         results.update(bench_eval_dedup(args.batch or 8, args.samples,
                                         depth=eval_d, width=eval_w))

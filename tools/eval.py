@@ -40,9 +40,9 @@ def make_parser():
     parser.add_argument("--int8", dest="int8", default=False, action="store_true",
                         help="int8 PTQ serving path (quant/ptq.py): fold BN, "
                              "calibrate activation scales on val batches, run "
-                             "the CBS convs int8 on the MXU. Phase-packed "
-                             "stages keep bf16/f32 kernels; add 'packed False' "
-                             "to the opts for a fully-int8 backbone. Validate "
+                             "the CBS convs int8 on the MXU — packed and raw "
+                             "layouts both quantize (packed is faster; only "
+                             "the Focus stem stays fp there). Validate "
                              "accuracy before shipping: int8 is approximate")
     parser.add_argument("--calib-batches", type=int, default=8,
                         help="number of val batches observed by --int8 "
