@@ -178,6 +178,21 @@ def test_validate_baseline_end_to_end(fake_argoverse, tmp_path, monkeypatch, cap
     assert run({"s": [0.0, 0.0, 0.0]}) == 0
     assert "OK" in capsys.readouterr().out
 
+    # --int8 validates the PTQ serving path end-to-end (calibrate on the
+    # val loader, quantize, evaluate) — the accuracy check the quant docs
+    # point to before shipping an int8 deployment
+    epath = tmp_path / "expected_int8.json"
+    epath.write_text(json.dumps({"s": [0.0, 0.0, 0.0]}))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["validate_baseline.py", "--weights-dir", str(tmp_path),
+         "--data-dir", fake_argoverse, "-b", "4", "--models", "s",
+         "--weights", f"s={wpath}", "--expected-json", str(epath),
+         "--tolerance", "0.5", "--int8", "--calib-batches", "1"] + opts,
+    )
+    assert vb.main() == 0
+    assert "OK" in capsys.readouterr().out
+
     # a missing weight file is an ERROR row + nonzero exit, not a crash
     monkeypatch.setattr(
         sys, "argv",

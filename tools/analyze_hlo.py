@@ -13,8 +13,10 @@ instructions, and a conv-shape census of forward vs backward convolutions
 (backward = dgrad/wgrad shapes, recognizable by reversed/dilated windows).
 
 Usage: python tools/analyze_hlo.py {train,model_bwd,eval,stream} [--batch N]
-       [--depth D] [--width W] [--top N] [--dump FILE]
-(``stream`` = the single-frame on_pipe + fixed-NMS program bench.py times)
+       [--depth D] [--width W] [--top N] [--int8] [--no-packed] [--dump FILE]
+(``stream`` = the single-frame on_pipe + fixed-NMS program bench.py times;
+``--int8``/``--no-packed`` profile the PTQ / raw-layout eval+stream variants
+— the raw-int8 relayout-copy pathology documented in README was found here)
 """
 
 from __future__ import annotations
@@ -165,7 +167,8 @@ def analyze(hlo_text: str, top: int = 25):
               f"{dims.group(1) if dims else ''}")
 
 
-def _get_hlo(which: str, batch: int, depth: float, width: float) -> str:
+def _get_hlo(which: str, batch: int, depth: float, width: float,
+             int8: bool = False, packed: bool = True) -> str:
     import jax
 
     jax.config.update(
@@ -202,10 +205,18 @@ def _get_hlo(which: str, batch: int, depth: float, width: float) -> str:
 
     from tools.bench_suite import _build_model
 
-    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16)
+    model = _build_model(depth=depth, width=width, dtype=jnp.bfloat16,
+                         packed=packed)
     variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, 64, 96, 6), np.float32),
         mode="off_pipe", train=False)
+    if int8:
+        from streamyolo_tpu.quant import quantize_for_serving
+
+        calib = [np.random.RandomState(1).randint(
+            0, 255, (1, 600, 960, 6)).astype(np.float32)]
+        variables = quantize_for_serving(
+            model, jax.device_get(variables), calib, strip=True)
     if which == "stream":
         # the bench.py / TPUStreamDetector per-frame program: uint8 cast,
         # on_pipe forward with the carried DFP buffer, decode, fixed NMS
@@ -237,6 +248,10 @@ def main():
     p.add_argument("--depth", type=float, default=0.33)
     p.add_argument("--width", type=float, default=0.50)
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--int8", action="store_true",
+                   help="eval/stream only: profile the int8 PTQ program")
+    p.add_argument("--no-packed", action="store_true",
+                   help="eval/stream only: raw-layout model")
     p.add_argument("--dump", help="also write the raw HLO text here")
     p.add_argument("--from-file", help="analyze an existing HLO dump instead")
     args = p.parse_args()
@@ -244,7 +259,8 @@ def main():
     if args.from_file:
         text = open(args.from_file).read()
     else:
-        text = _get_hlo(args.which, args.batch, args.depth, args.width)
+        text = _get_hlo(args.which, args.batch, args.depth, args.width,
+                        int8=args.int8, packed=not args.no_packed)
     if args.dump:
         with open(args.dump, "w") as f:
             f.write(text)

@@ -56,6 +56,14 @@ def make_parser():
                    help="max |sAP - published| in AP points before failing")
     p.add_argument("--no-fuse", action="store_true",
                    help="skip the conv+BN fold (the recipe fuses)")
+    p.add_argument("--int8", action="store_true",
+                   help="validate the int8 PTQ serving path instead of "
+                        "fp: fold BN, calibrate activation scales on "
+                        "--calib-batches val batches, evaluate the "
+                        "quantized model. Expect a small sAP drop — widen "
+                        "--tolerance accordingly (int8 is approximate)")
+    p.add_argument("--calib-batches", type=int, default=8,
+                   help="val batches observed by --int8 calibration")
     p.add_argument("--models", default=",".join(BASELINE_ROWS),
                    help="comma-separated subset of rows to run "
                         f"(of {','.join(BASELINE_ROWS)})")
@@ -87,13 +95,26 @@ def _run_one(name, cfg_path, weight_path, args):
     variables = exp.init_model(model)
     ckpt = load_checkpoint(weight_path)
     variables = merge_variables(variables, ckpt["model"], strict=True)
-    if not args.no_fuse:
+    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
+    if args.int8:
+        import itertools
+
+        from streamyolo_tpu.quant import quantize_for_serving
+
+        calib = [
+            batch[0]
+            for batch in itertools.islice(
+                iter(evaluator.dataloader), max(1, args.calib_batches))
+        ]
+        logger.info("\tint8 PTQ: folding BN + calibrating on %d batches",
+                    len(calib))
+        variables = quantize_for_serving(model, variables, calib)
+    elif not args.no_fuse:
         from streamyolo_tpu.utils.fuse import fuse_model_variables
 
         variables = fuse_model_variables(variables)
 
     forward_fn = exp.get_forward_fn(model, variables)
-    evaluator = exp.get_evaluator(args.batch_size, is_distributed=False)
     ap, ap50, summary = exp.eval(forward_fn, evaluator)
     logger.info("\n%s", summary)
     stats = getattr(evaluator, "last_stats", None)
