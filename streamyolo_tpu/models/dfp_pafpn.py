@@ -116,6 +116,7 @@ class DFPPAFPN(nn.Module):
         mode: str = "off_pipe",
         *,
         support_shift: Optional[jax.Array] = None,
+        star_mask: Optional[jax.Array] = None,
         train: bool = False,
     ):
         assert mode in ("off_pipe", "on_pipe", "seq")
@@ -171,5 +172,12 @@ class DFPPAFPN(nn.Module):
         # on_pipe
         cur = self.pafpn(x, train=train)
         sup = cur if buffer is None else tuple(buffer)  # 'star' vs 'buffer' node
+        if buffer is not None and star_mask is not None:
+            # Per-row star selection for batched multi-stream serving: a True
+            # row fuses with its own current features (a restarted stream's
+            # 'star' semantics) while the others keep their buffer carry —
+            # one program for any mix of fresh and running streams.
+            m = star_mask.reshape(-1, 1, 1, 1)
+            sup = tuple(jnp.where(m, c, s.astype(c.dtype)) for c, s in zip(cur, sup))
         outputs = self._dfp_fuse(cur, sup, train=train)
         return outputs, cur

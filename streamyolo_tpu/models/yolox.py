@@ -45,6 +45,7 @@ class StreamYOLO(nn.Module):
         mode: str = "off_pipe",
         *,
         support_shift: Optional[jax.Array] = None,
+        star_mask: Optional[jax.Array] = None,
         train: bool = False,
     ):
         assert mode in ("off_pipe", "on_pipe", "seq")
@@ -68,7 +69,9 @@ class StreamYOLO(nn.Module):
                 return outputs
             return eval_outputs(outputs, self.head.strides)
 
-        fpn_outs, buffer_ = self.backbone(x, buffer=buffer, mode="on_pipe", train=train)
+        fpn_outs, buffer_ = self.backbone(
+            x, buffer=buffer, mode="on_pipe", star_mask=star_mask, train=train
+        )
         outputs = self.head(fpn_outs, train=train)
         return eval_outputs(outputs, self.head.strides), buffer_
 

@@ -37,12 +37,10 @@ convs; unsown modules (the packed stem) keep theirs.
 
 from __future__ import annotations
 
-import copy
 import re
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from streamyolo_tpu.utils.fuse import fuse_model_variables

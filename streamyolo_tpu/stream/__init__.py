@@ -1,5 +1,6 @@
 from streamyolo_tpu.stream.clock import SimClock, WallClock
 from streamyolo_tpu.stream.online import (
+    MultiStreamDetector,
     SimulatedDetector,
     TPUStreamDetector,
     print_stats,
@@ -25,6 +26,7 @@ from streamyolo_tpu.stream.schedule_sim import POLICIES, sim
 __all__ = [
     "SimClock",
     "WallClock",
+    "MultiStreamDetector",
     "SimulatedDetector",
     "TPUStreamDetector",
     "print_stats",

@@ -154,3 +154,107 @@ def test_spatial_mesh_rejects_device_preproc(tiny_model):
             tiny_model, mesh=make_spatial_mesh(jax.devices()[:2]),
             device_preproc=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# MultiStreamDetector: N streams in one batched on_pipe step
+# ---------------------------------------------------------------------------
+
+
+def _make_multi(tiny_model, n_streams, **kw):
+    from streamyolo_tpu.stream import MultiStreamDetector
+
+    model, variables = tiny_model
+    # conf 1e-5: the prior-prob bias init puts untrained scores at ~1e-4,
+    # so a realistic threshold would keep the comparisons below vacuously
+    # empty.
+    return MultiStreamDetector(
+        model, variables, n_streams,
+        input_size=(FAKE_H // 2, FAKE_W // 2), in_scale=0.5,
+        conf_thre=1e-5, nms_thre=0.5, num_classes=8, pre_nms_topk=32,
+        use_bf16=False,
+        **kw,
+    )
+
+
+def test_on_pipe_star_mask_row_semantics(tiny_model):
+    """star_mask selects per ROW between buffer fuse and star (self) fuse —
+    bit-exact against the unmasked programs on the same batch."""
+    import jax.numpy as jnp
+
+    model, variables = tiny_model
+    rs = np.random.RandomState(0)
+    h, w = FAKE_H // 2, FAKE_W // 2
+    x0 = rs.rand(2, h, w, 3).astype(np.float32) * 255
+    x1 = rs.rand(2, h, w, 3).astype(np.float32) * 255
+
+    _, buf = model.apply(variables, x0, mode="on_pipe")
+    masked, _ = model.apply(
+        variables, x1, buffer=buf, mode="on_pipe",
+        star_mask=jnp.array([False, True]),
+    )
+    buffered, _ = model.apply(variables, x1, buffer=buf, mode="on_pipe")
+    starred, _ = model.apply(variables, x1, mode="on_pipe")
+    masked, buffered, starred = map(np.asarray, (masked, buffered, starred))
+    np.testing.assert_array_equal(masked[0], buffered[0])
+    np.testing.assert_array_equal(masked[1], starred[1])
+    # and the mask changed something: row 1 buffer-fuse != star-fuse
+    assert not np.array_equal(buffered[1], starred[1])
+
+
+def test_multi_stream_single_matches_tpu_stream_detector(tiny_model):
+    """n_streams=1 reproduces TPUStreamDetector on the same frame sequence
+    (same batch-1 program; the steady-state all-False mask selects the
+    buffer everywhere)."""
+    from streamyolo_tpu.stream import TPUStreamDetector
+
+    model, variables = tiny_model
+    single = TPUStreamDetector(
+        model, variables, input_size=(FAKE_H // 2, FAKE_W // 2), in_scale=0.5,
+        conf_thre=1e-5, nms_thre=0.5, num_classes=8, pre_nms_topk=32,
+        use_bf16=False,
+    )
+    multi = _make_multi(tiny_model, 1)
+    rs = np.random.RandomState(2)
+    for _ in range(3):  # star, then two buffer-carrying steps
+        frame = rs.randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
+        b0, s0, l0, _ = single(frame)
+        ((b1, s1, l1, m1),) = multi([frame])
+        assert m1 is None
+        assert len(b0), "vacuous comparison: no detections"
+        np.testing.assert_allclose(b1, b0, rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(s1, s0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(l1, l0)
+
+
+def test_multi_stream_rows_are_independent(tiny_model):
+    """Two streams fed the SAME frame sequence produce identical rows (the
+    batched step is row-wise independent), and a per-stream reset makes ONLY
+    the marked row diverge (its next step star-fuses while the other keeps
+    its carry)."""
+    multi = _make_multi(tiny_model, 2)
+    rs = np.random.RandomState(3)
+    frames = [rs.randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
+              for _ in range(3)]
+
+    out0 = multi(np.stack([multi.preproc(frames[0])] * 2), preprocessed=True)
+    out1 = multi(np.stack([multi.preproc(frames[1])] * 2), preprocessed=True)
+    for out in (out0, out1):
+        (ba, sa, la, _), (bb, sb, lb, _) = out
+        assert len(ba), "vacuous comparison: no detections"
+        np.testing.assert_array_equal(ba, bb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(la, lb)
+
+    multi.reset(1)  # stream 1 re-stars; stream 0 keeps its carry
+    (ba, sa, la, _), (bb, sb, lb, _) = multi(
+        np.stack([multi.preproc(frames[2])] * 2), preprocessed=True)
+    assert not (
+        ba.shape == bb.shape and np.array_equal(ba, bb)
+        and np.array_equal(sa, sb)
+    ), "per-stream reset did not change the marked row"
+    assert multi._buffer is not None
+    assert not multi._pending_star.any()
+
+    multi.reset()
+    assert multi._buffer is None
