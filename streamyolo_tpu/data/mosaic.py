@@ -1,7 +1,19 @@
 """Mosaic + MixUp(CopyPaste) dataset wrappers.
 
 Capability parity with `/root/reference/exps/data/tal_flip_mosaicdetection.py`
-(double-frame datasets) and `exps/data/mosaicdetection.py` (still dataset).
+(double-frame datasets) and `exps/data/mosaicdetection.py` (still dataset):
+a wrapper dataset that, with probability ``mosaic_prob``, composes 4 samples
+into a 2x canvas around a random center, warps it with ``random_perspective``,
+and (still path) optionally blends in a fifth "donor" sample at half opacity
+(CopyPaste mixup). Everything here is host-side NumPy/cv2 — it runs in the
+loader, never on device.
+
+Implementation is in-house (round 4): the 4-tile placement is derived as
+axis-wise span arithmetic (`_axis_span`) instead of the reference's
+per-quadrant case table, and mixup is structured as a donor→window transform
+chain. Behavior — including the order of ``random`` draws and float32
+arithmetic — is locked bit-for-bit against the previous implementation by
+``tests/test_mosaic_golden.py``.
 
 Note on the reference: all shipped stream configs set
 ``no_aug_epochs = max_epoch``, so ``mosaic=False`` from epoch 0 and only the
@@ -24,21 +36,41 @@ from streamyolo_tpu.data.transforms import box_candidates, random_perspective
 from streamyolo_tpu.ops.boxes import adjust_box_anns
 
 
-def get_mosaic_coordinate(mosaic_index, xc, yc, w, h, input_h, input_w):
-    """Paste rectangle in the 2x canvas + source crop for one of the 4 tiles."""
-    if mosaic_index == 0:
-        x1, y1, x2, y2 = max(xc - w, 0), max(yc - h, 0), xc, yc
-        small_coord = w - (x2 - x1), h - (y2 - y1), w, h
-    elif mosaic_index == 1:
-        x1, y1, x2, y2 = xc, max(yc - h, 0), min(xc + w, input_w * 2), yc
-        small_coord = 0, h - (y2 - y1), min(w, x2 - x1), h
-    elif mosaic_index == 2:
-        x1, y1, x2, y2 = max(xc - w, 0), yc, xc, min(input_h * 2, yc + h)
-        small_coord = w - (x2 - x1), 0, w, min(y2 - y1, h)
-    else:
-        x1, y1, x2, y2 = xc, yc, min(xc + w, input_w * 2), min(input_h * 2, yc + h)
-        small_coord = 0, 0, min(w, x2 - x1), min(y2 - y1, h)
-    return (x1, y1, x2, y2), small_coord
+def _axis_span(center, extent, limit, forward):
+    """One axis of one mosaic quadrant: destination ``[lo, hi)`` on the 2x
+    canvas plus the matching source-crop span.
+
+    A tile is anchored at the shared center and grows either backward
+    (toward 0) or forward (toward ``limit``). Whatever falls off the canvas
+    is trimmed from the tile's far-from-center side, so the source crop of a
+    backward tile keeps its trailing ``hi - lo`` pixels and a forward tile
+    its leading ones.
+    """
+    if forward:
+        lo, hi = center, min(center + extent, limit)
+        return lo, hi, 0, hi - lo
+    lo, hi = max(center - extent, 0), center
+    return lo, hi, extent - (hi - lo), extent
+
+
+def get_mosaic_coordinate(quadrant, xc, yc, w, h, input_h, input_w):
+    """Paste rectangle on the 2x canvas + source crop for quadrant 0..3
+    (row-major: top-left, top-right, bottom-left, bottom-right), for a
+    ``w x h`` tile anchored at the shared center ``(xc, yc)``."""
+    dx1, dx2, sx1, sx2 = _axis_span(xc, w, 2 * input_w, forward=quadrant % 2 == 1)
+    dy1, dy2, sy1, sy2 = _axis_span(yc, h, 2 * input_h, forward=quadrant >= 2)
+    return (dx1, dy1, dx2, dy2), (sx1, sy1, sx2, sy2)
+
+
+def _fit_to_box(img, box_h, box_w):
+    """Aspect-preserving resize so ``img`` fits inside a ``box_h x box_w``
+    box; returns the resized image and the ratio applied."""
+    h0, w0 = img.shape[:2]
+    ratio = min(box_h / h0, box_w / w0)
+    resized = cv2.resize(
+        img, (int(w0 * ratio), int(h0 * ratio)), interpolation=cv2.INTER_LINEAR
+    )
+    return resized, ratio
 
 
 class _MosaicBase:
@@ -74,112 +106,115 @@ class _MosaicBase:
     def __len__(self):
         return len(self._dataset)
 
-    def _mosaic_tiles(self, imgs_labels, input_h, input_w, yc, xc):
-        """Compose 4 (img, labels) tiles into a 2x mosaic canvas."""
-        mosaic_img = None
-        mosaic_labels = []
-        for i_mosaic, (img, _labels) in enumerate(imgs_labels):
-            h0, w0 = img.shape[:2]
-            scale = min(1.0 * input_h / h0, 1.0 * input_w / w0)
-            img = cv2.resize(
-                img, (int(w0 * scale), int(h0 * scale)), interpolation=cv2.INTER_LINEAR
+    def _compose_tiles(self, tiles, input_h, input_w, yc, xc):
+        """Paste 4 ``(image, xyxy+cls boxes)`` tiles around the center
+        ``(xc, yc)`` of a gray 2x canvas; shift each tile's boxes by its
+        paste-origin-minus-crop-origin and clip the lot to the canvas."""
+        canvas = None
+        placed = []
+        for quadrant, (img, boxes) in enumerate(tiles):
+            img, ratio = _fit_to_box(img, input_h, input_w)
+            if canvas is None:
+                canvas = np.full(
+                    (2 * input_h, 2 * input_w, img.shape[2]), 114, np.uint8
+                )
+            tile_h, tile_w = img.shape[:2]
+            (dx1, dy1, dx2, dy2), (sx1, sy1, sx2, sy2) = get_mosaic_coordinate(
+                quadrant, xc, yc, tile_w, tile_h, input_h, input_w
             )
-            h, w, c = img.shape[:3]
-            if i_mosaic == 0:
-                mosaic_img = np.full((input_h * 2, input_w * 2, c), 114, dtype=np.uint8)
-            (l_x1, l_y1, l_x2, l_y2), (s_x1, s_y1, s_x2, s_y2) = get_mosaic_coordinate(
-                i_mosaic, xc, yc, w, h, input_h, input_w
-            )
-            mosaic_img[l_y1:l_y2, l_x1:l_x2] = img[s_y1:s_y2, s_x1:s_x2]
-            padw, padh = l_x1 - s_x1, l_y1 - s_y1
+            canvas[dy1:dy2, dx1:dx2] = img[sy1:sy2, sx1:sx2]
 
-            labels = _labels.copy()
-            if _labels.size > 0:
-                labels[:, 0] = scale * _labels[:, 0] + padw
-                labels[:, 1] = scale * _labels[:, 1] + padh
-                labels[:, 2] = scale * _labels[:, 2] + padw
-                labels[:, 3] = scale * _labels[:, 3] + padh
-            mosaic_labels.append(labels)
+            boxes = boxes.copy()
+            if boxes.size > 0:
+                # stay in the boxes' own dtype: float32 labels must see
+                # float32 arithmetic (golden-locked numerics)
+                shift = np.asarray(
+                    [dx1 - sx1, dy1 - sy1] * 2, dtype=boxes.dtype
+                )
+                boxes[:, :4] = boxes[:, :4] * ratio + shift
+            placed.append(boxes)
 
-        mosaic_labels = np.concatenate(mosaic_labels, 0)
-        np.clip(mosaic_labels[:, 0], 0, 2 * input_w, out=mosaic_labels[:, 0])
-        np.clip(mosaic_labels[:, 1], 0, 2 * input_h, out=mosaic_labels[:, 1])
-        np.clip(mosaic_labels[:, 2], 0, 2 * input_w, out=mosaic_labels[:, 2])
-        np.clip(mosaic_labels[:, 3], 0, 2 * input_h, out=mosaic_labels[:, 3])
-        return mosaic_img, mosaic_labels
+        boxes = np.concatenate(placed, 0)
+        np.clip(
+            boxes[:, :4], 0,
+            np.asarray([2 * input_w, 2 * input_h] * 2, dtype=boxes.dtype),
+            out=boxes[:, :4],
+        )
+        return canvas, boxes
 
-    def mixup(self, origin_img, origin_labels, input_dim, pull_single):
-        """CopyPaste-style mixup (`tal_flip_mosaicdetection.py:259-333`)."""
-        jit_factor = random.uniform(*self.mixup_scale)
-        FLIP = random.uniform(0, 1) > 0.5
-        cp_labels = []
-        while len(cp_labels) == 0:
-            cp_index = random.randint(0, len(self) - 1)
-            _, cp_labels = pull_single(cp_index)
-        img, cp_labels = pull_single(cp_index)
+    def mixup(self, base_img, base_labels, input_dim, pull_single):
+        """Blend one donor sample into the mosaic at half opacity and append
+        its surviving boxes (CopyPaste-style; the capability of the reference
+        wrapper's mixup branch).
 
-        if len(img.shape) == 3:
-            cp_img = np.ones((input_dim[0], input_dim[1], 3), dtype=np.uint8) * 114
+        The order of ``random`` draws is part of the behavior contract
+        (seeded pipelines replay it; tests/test_mosaic_golden.py): zoom
+        factor, flip coin, donor index (redrawn until the donor has boxes),
+        then the vertical and horizontal crop offsets.
+        """
+        zoom = random.uniform(*self.mixup_scale)
+        flipped = random.uniform(0, 1) > 0.5
+
+        donor_boxes = []
+        while len(donor_boxes) == 0:
+            donor_idx = random.randint(0, len(self) - 1)
+            _, donor_boxes = pull_single(donor_idx)
+        donor_img, donor_boxes = pull_single(donor_idx)
+
+        # Letterbox the donor onto a gray canvas at the nominal input size,
+        # then zoom the WHOLE canvas: zooming after padding means the gray
+        # border scales with the image, so one ratio maps donor-pixel
+        # coordinates onto the zoomed canvas.
+        if donor_img.ndim == 3:
+            canvas = np.full((input_dim[0], input_dim[1], 3), 114, np.uint8)
         else:
-            cp_img = np.ones(input_dim, dtype=np.uint8) * 114
-
-        cp_scale_ratio = min(input_dim[0] / img.shape[0], input_dim[1] / img.shape[1])
-        resized_img = cv2.resize(
-            img,
-            (int(img.shape[1] * cp_scale_ratio), int(img.shape[0] * cp_scale_ratio)),
+            canvas = np.full(input_dim, 114, np.uint8)
+        ratio = min(
+            input_dim[0] / donor_img.shape[0], input_dim[1] / donor_img.shape[1]
+        )
+        fitted = cv2.resize(
+            donor_img,
+            (int(donor_img.shape[1] * ratio), int(donor_img.shape[0] * ratio)),
             interpolation=cv2.INTER_LINEAR,
         )
-        cp_img[: resized_img.shape[0], : resized_img.shape[1]] = resized_img
-
-        cp_img = cv2.resize(
-            cp_img,
-            (int(cp_img.shape[1] * jit_factor), int(cp_img.shape[0] * jit_factor)),
+        canvas[: fitted.shape[0], : fitted.shape[1]] = fitted
+        canvas = cv2.resize(
+            canvas, (int(canvas.shape[1] * zoom), int(canvas.shape[0] * zoom))
         )
-        cp_scale_ratio *= jit_factor
-        if FLIP:
-            cp_img = cp_img[:, ::-1, :]
+        ratio *= zoom
+        if flipped:
+            canvas = canvas[:, ::-1, :]
+        src_h, src_w = canvas.shape[:2]
 
-        origin_h, origin_w = cp_img.shape[:2]
-        target_h, target_w = origin_img.shape[:2]
-        padded_img = np.zeros(
-            (max(origin_h, target_h), max(origin_w, target_w), 3), dtype=np.uint8
+        # Cut a base-sized window out of the zoomed canvas at a random
+        # position; on axes where the canvas is smaller than the base the
+        # window is instead zero-padded below/right of it.
+        dst_h, dst_w = base_img.shape[:2]
+        frame = np.zeros((max(src_h, dst_h), max(src_w, dst_w), 3), np.uint8)
+        frame[:src_h, :src_w] = canvas
+        dy = random.randint(0, src_h - dst_h - 1) if src_h > dst_h else 0
+        dx = random.randint(0, src_w - dst_w - 1) if src_w > dst_w else 0
+        window = frame[dy : dy + dst_h, dx : dx + dst_w]
+
+        # Map the donor's boxes through the same zoom / flip / crop chain;
+        # keep only boxes that survive the crop non-degenerately.
+        zoomed_boxes = adjust_box_anns(
+            donor_boxes[:, :4].copy(), ratio, 0, 0, src_w, src_h
         )
-        padded_img[:origin_h, :origin_w] = cp_img
+        if flipped:
+            zoomed_boxes[:, [0, 2]] = src_w - zoomed_boxes[:, [2, 0]]
+        cropped_boxes = zoomed_boxes.copy()
+        cropped_boxes[:, 0::2] = np.clip(cropped_boxes[:, 0::2] - dx, 0, dst_w)
+        cropped_boxes[:, 1::2] = np.clip(cropped_boxes[:, 1::2] - dy, 0, dst_h)
+        keep = box_candidates(zoomed_boxes.T, cropped_boxes.T, 5)
 
-        x_offset, y_offset = 0, 0
-        if padded_img.shape[0] > target_h:
-            y_offset = random.randint(0, padded_img.shape[0] - target_h - 1)
-        if padded_img.shape[1] > target_w:
-            x_offset = random.randint(0, padded_img.shape[1] - target_w - 1)
-        padded_cropped_img = padded_img[
-            y_offset : y_offset + target_h, x_offset : x_offset + target_w
-        ]
-
-        cp_bboxes_origin_np = adjust_box_anns(
-            cp_labels[:, :4].copy(), cp_scale_ratio, 0, 0, origin_w, origin_h
-        )
-        if FLIP:
-            cp_bboxes_origin_np[:, 0::2] = (
-                origin_w - cp_bboxes_origin_np[:, 0::2][:, ::-1]
+        if keep.any():
+            appended = np.hstack((cropped_boxes[keep], donor_boxes[keep, 4:5]))
+            base_labels = np.vstack((base_labels, appended))
+            base_img = 0.5 * base_img.astype(np.float32) + 0.5 * window.astype(
+                np.float32
             )
-        cp_bboxes_transformed_np = cp_bboxes_origin_np.copy()
-        cp_bboxes_transformed_np[:, 0::2] = np.clip(
-            cp_bboxes_transformed_np[:, 0::2] - x_offset, 0, target_w
-        )
-        cp_bboxes_transformed_np[:, 1::2] = np.clip(
-            cp_bboxes_transformed_np[:, 1::2] - y_offset, 0, target_h
-        )
-        keep_list = box_candidates(cp_bboxes_origin_np.T, cp_bboxes_transformed_np.T, 5)
-
-        if keep_list.sum() >= 1.0:
-            cls_labels = cp_labels[keep_list, 4:5].copy()
-            box_labels = cp_bboxes_transformed_np[keep_list]
-            labels = np.hstack((box_labels, cls_labels))
-            origin_labels = np.vstack((origin_labels, labels))
-            origin_img = origin_img.astype(np.float32)
-            origin_img = 0.5 * origin_img + 0.5 * padded_cropped_img.astype(np.float32)
-
-        return origin_img.astype(np.uint8), origin_labels
+        return base_img.astype(np.uint8), base_labels
 
 
 class MosaicDetection(_MosaicBase):
@@ -204,10 +239,10 @@ class MosaicDetection(_MosaicBase):
             # The SAME mosaic geometry for both frames keeps the temporal
             # pair consistent (the augmentation analogue of the shared flip).
             rng_state = random.getstate()
-            mosaic_img, mosaic_labels = self._mosaic_tiles(
+            mosaic_img, mosaic_labels = self._compose_tiles(
                 cur_tiles, input_h, input_w, yc, xc
             )
-            sup_mosaic_img, sup_mosaic_labels = self._mosaic_tiles(
+            sup_mosaic_img, sup_mosaic_labels = self._compose_tiles(
                 sup_tiles, input_h, input_w, yc, xc
             )
 
@@ -269,7 +304,7 @@ class StillMosaicDetection(_MosaicBase):
             for index in indices:
                 img, label, _, _ = self._dataset.pull_item(index)
                 tiles.append((img, label))
-            mosaic_img, mosaic_labels = self._mosaic_tiles(
+            mosaic_img, mosaic_labels = self._compose_tiles(
                 tiles, input_h, input_w, yc, xc
             )
             mosaic_img, mosaic_labels = random_perspective(

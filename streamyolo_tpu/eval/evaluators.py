@@ -218,10 +218,16 @@ class _StreamEvaluatorBase:
         bs = getattr(self.dataloader, "batch_size", None) or 1
         a_infer_time = 1000 * inference_time / (n_samples * bs)
         a_nms_time = 1000 * nms_time / (n_samples * bs)
+        # NOTE the labels: on TPU the forward and NMS run as ONE fused XLA
+        # program, so the whole device step is reported under
+        # "forward+NMS (fused)" and the second meter is only the host-side
+        # row unpack. The meter names keep the reference's two-column layout
+        # (`onex_stream_evaluator.py:219-234`); the labels say what each
+        # column actually measures here.
         time_info = ", ".join(
             f"Average {k} time: {v:.2f} ms"
             for k, v in zip(
-                ["forward", "NMS", "inference"],
+                ["forward+NMS (fused)", "host unpack", "inference"],
                 [a_infer_time, a_nms_time, a_infer_time + a_nms_time],
             )
         )

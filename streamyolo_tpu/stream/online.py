@@ -266,6 +266,9 @@ class MultiStreamDetector:
             self._buffer = None
             self._pending_star[:] = False
         else:
+            if not 0 <= stream < self.n_streams:
+                raise IndexError(
+                    f"stream index {stream} out of range [0, {self.n_streams})")
             self._pending_star[stream] = True
 
     def warmup(self, n: int = 10):
@@ -291,7 +294,8 @@ class MultiStreamDetector:
             frames = np.stack([self.preproc(f) for f in frames])
         else:
             frames = np.asarray(frames)
-            if frames.ndim == 3:  # a sequence of frames arrived stacked-able
+            if frames.ndim == 3 and self.n_streams == 1:
+                # accept a single unstacked frame in the 1-stream case
                 frames = frames[None]
         assert frames.shape[0] == self.n_streams, (
             f"expected {self.n_streams} frames, got {frames.shape[0]}")

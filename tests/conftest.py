@@ -37,19 +37,19 @@ FAKE_H, FAKE_W = 60, 96
 FAKE_IMG_SIZE = (30, 48)
 
 
-@pytest.fixture(scope="session")
-def fake_argoverse(tmp_path_factory):
+def write_fake_argoverse(root, seq_lens=(4, 3)):
+    """Materialize the synthetic dataset under ``root`` with one sequence per
+    entry of ``seq_lens``; returns ``str(root)``."""
     import json
 
     import cv2
 
-    root = tmp_path_factory.mktemp("argoverse")
     ann_dir = root / "Argoverse-HD" / "annotations"
     ann_dir.mkdir(parents=True)
-    seq_dirs = ["seq0", "seq1"]
+    seq_dirs = [f"seq{sid}" for sid in range(len(seq_lens))]
     images, annotations = [], []
     img_id = ann_id = 0
-    for sid, n_frames in enumerate((4, 3)):
+    for sid, n_frames in enumerate(seq_lens):
         d = root / "Argoverse-1.1" / "tracking" / seq_dirs[sid]
         d.mkdir(parents=True)
         for fid in range(n_frames):
@@ -73,8 +73,21 @@ def fake_argoverse(tmp_path_factory):
         )
     ]
     data = dict(images=images, annotations=annotations, categories=categories,
-                seq_dirs=seq_dirs, sequences=["seq0", "seq1"])
+                seq_dirs=seq_dirs, sequences=seq_dirs)
     for split in ("train.json", "val.json"):
         with open(ann_dir / split, "w") as f:
             json.dump(data, f)
     return str(root)
+
+
+@pytest.fixture(scope="session")
+def fake_argoverse(tmp_path_factory):
+    return write_fake_argoverse(tmp_path_factory.mktemp("argoverse"))
+
+
+@pytest.fixture(scope="session")
+def fake_argoverse_long(tmp_path_factory):
+    """A single 8-frame sequence: long enough that the TWOX evaluator's
+    boundary rules leave survivors (ids 2..5 -> rows at image_ids 4..7)."""
+    return write_fake_argoverse(
+        tmp_path_factory.mktemp("argoverse_long"), seq_lens=(8,))

@@ -70,7 +70,7 @@ def test_onex_future_oracle_perfect(fake_argoverse):
     # image_ids 2, 3, 6; the other 4 gts are missed. Precision 1 up to
     # recall 3/7: AP50 = 43 of 101 recall points (0.00..0.42).
     assert ap50 == pytest.approx(43 / 101, abs=1e-6)
-    assert "Average forward time" in info
+    assert "Average forward+NMS (fused) time" in info
 
 
 def test_onex_id_shift_and_boundary_skips(fake_argoverse):

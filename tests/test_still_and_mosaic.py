@@ -80,6 +80,37 @@ def test_twox_evaluator_shift_and_skips(fake_argoverse):
     assert data_list == []
 
 
+def test_twox_evaluator_positive_path(fake_argoverse_long):
+    """On an 8-frame sequence the id+2 arithmetic actually emits rows: a
+    perfect future-frame oracle (predicts frame t+2's gt from the pair at t)
+    must score rows for exactly image_ids 4..7 and AP50 = 4/8 survivors
+    (reference append path `twox_stream_evaluator.py:188-206`)."""
+    from tests.test_evaluators import _oracle_forward
+
+    ds = TWO_ARGOVERSEDataset(
+        fake_argoverse_long, "val.json", name="val", img_size=FAKE_IMG_SIZE,
+        preproc=DoubleValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=1, num_workers=0, shuffle=False)
+    evaluator = TWOX_COCOEvaluator(
+        loader, img_size=FAKE_IMG_SIZE, confthre=0.3, nmsthre=0.5, num_classes=8,
+    )
+    (_, ap50, _), data_list = evaluator.evaluate(
+        _oracle_forward(ds, shift=2), return_outputs=True
+    )
+    # ids 0,1: fid in (0,1) dead branches; ids 6,7: id+2 over the tail.
+    # Survivors 2..5 append under image_id+2.
+    assert sorted(d["image_id"] for d in data_list) == [4, 5, 6, 7]
+    # each row is that image's own gt box -> precision 1 up to recall 4/8:
+    # 51 of the 101 recall points
+    assert ap50 == pytest.approx(51 / 101, abs=1e-6)
+    for d in data_list:
+        assert d["category_id"] == 2
+        x, y, w, h = d["bbox"]
+        fid = d["image_id"]  # single sequence: fid == id
+        assert (x, y, w, h) == pytest.approx((10 + 2 * fid, 20, 10, 8), abs=1e-3)
+
+
 def test_double_mosaic_branch(fake_argoverse):
     """The double-frame mosaic branch must produce a consistent 6-channel
     pair (the reference's would crash; ours is implemented, PARITY.md)."""
