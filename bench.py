@@ -21,6 +21,12 @@ attach the chip directly: H2D of the 1.7 MB uint8 frame and D2H of the
 [K, 8] boxes cost <1 ms there. The wall-clock relay-bound loop is also run
 and reported to stderr for reference.
 
+Operating point: conf 0.01 / NMS 0.65 / pre-NMS top-k 200 — the DEPLOYED
+detector defaults (`stream/online.py::TPUStreamDetector`) and the offline-eval
+confidence of the README table (`/root/reference/README.md:122`), not a
+flattering low-K configuration (round-3 ran conf 0.3 / K=100; the serving
+point costs a 4x larger [K, K] NMS matrix and is the honest number).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -37,6 +43,10 @@ V100_BASELINE_FPS = 30.0  # real-time bar on the reference hardware
 K = 10  # chained steps per dispatch
 R = 5  # dispatches per timed sample (sync once per sample)
 N_SAMPLES = 10
+# serving operating point = TPUStreamDetector defaults (stream/online.py)
+CONF_THRE = 0.01
+NMS_THRE = 0.65
+PRE_NMS_TOPK = 200
 
 
 def main():
@@ -74,7 +84,8 @@ def main():
                 v, x.astype(jnp.bfloat16), buffer=b, mode="on_pipe"
             )
             dets = postprocess_fixed(
-                preds, num_classes=8, conf_thre=0.3, nms_thre=0.5, pre_nms_topk=100
+                preds, num_classes=8, conf_thre=CONF_THRE,
+                nms_thre=NMS_THRE, pre_nms_topk=PRE_NMS_TOPK,
             )
             # reduce over the WHOLE detection tensor (incl. the keep flags)
             # so XLA cannot dead-code-eliminate the NMS suppression

@@ -32,6 +32,122 @@ from streamyolo_tpu.stream.runtime_dist import Empirical
 from streamyolo_tpu.utils.logger import get_logger
 
 
+def _build_stream_step(model, *, num_classes, conf_thre, nms_thre,
+                       pre_nms_topk, compute_dtype, device_preproc):
+    """The per-frame device program shared by the jit and AOT paths:
+    (uint8 frame -> cast/preproc -> on_pipe forward threading the DFP buffer
+    -> decode -> fixed-shape NMS), one XLA program."""
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    def _step(variables, image, buffer):
+        import jax.numpy as jnp
+
+        if device_preproc:
+            # raw [1, 2H, 2W, 3] uint8 in: fused 0.5x downsample +
+            # cv2-parity round (floor(x+0.5), the uint8 write cv2 does)
+            # + cast, all on device — Pallas kernel when verified, jnp
+            # twin otherwise (ops/preproc_pallas.py).
+            from streamyolo_tpu.ops.preproc_pallas import downsample2x_auto
+
+            ds = downsample2x_auto(image[0], out_dtype=jnp.float32)
+            x = jnp.clip(jnp.floor(ds + 0.5), 0, 255)[None]
+            x = x.astype(compute_dtype)
+        else:
+            x = image.astype(compute_dtype)
+        preds, new_buffer = model.apply(variables, x, buffer=buffer, mode="on_pipe")
+        dets = postprocess_fixed(
+            preds, num_classes=num_classes, conf_thre=conf_thre,
+            nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+        )
+        return dets, new_buffer
+
+    return _step
+
+
+def _stream_aot_key(model, variables, image_shape, **config) -> str:
+    """Content key for the detector's serialized executables: model
+    hyperparams (flax module repr), variables avals, the exact input shape,
+    and every postprocess knob — plus the environment via executable_key."""
+    import hashlib
+
+    import jax
+
+    from streamyolo_tpu.utils.aot import executable_key
+
+    avals = jax.tree_util.tree_map(
+        lambda a: (tuple(getattr(a, "shape", ())),
+                   str(getattr(a, "dtype", type(a).__name__))),
+        variables,
+    )
+    return executable_key(
+        kind="stream_step",
+        model=hashlib.sha256(repr(model).encode()).hexdigest(),
+        variables=hashlib.sha256(repr(avals).encode()).hexdigest(),
+        image_shape=tuple(image_shape),
+        **config,
+    )
+
+
+def _stream_executable_paths(aot_dir: str, key: str) -> Tuple[str, str]:
+    stem = os.path.join(aot_dir, f"stream_{key[:20]}")
+    return stem + ".star.jaxexec", stem + ".buf.jaxexec"
+
+
+def export_stream_executables(
+    model,
+    variables,
+    aot_dir: str,
+    *,
+    input_size: Tuple[int, int] = (600, 960),
+    conf_thre: float = 0.01,
+    nms_thre: float = 0.65,
+    num_classes: int = 8,
+    pre_nms_topk: int = 200,
+    use_bf16: bool = True,
+    device_preproc: bool = False,
+) -> Tuple[str, str]:
+    """AOT-compile the TPUStreamDetector star and steady-state programs for
+    the exact serving configuration and serialize both under ``aot_dir``
+    (`utils/aot.py::save_executable`). A later ``TPUStreamDetector(...,
+    aot_dir=...)`` with the same configuration loads them and never traces
+    or compiles — the full TensorRT-engine capability of the reference's
+    deployment slot (`/root/reference/tools/eval.py:179-191`).
+
+    Returns the two artifact paths (star, steady-state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.utils.aot import aot_compile, save_executable
+
+    variables = jax.device_put(variables)
+    compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    config = dict(
+        num_classes=num_classes, conf_thre=conf_thre, nms_thre=nms_thre,
+        pre_nms_topk=pre_nms_topk, compute_dtype=str(compute_dtype.__name__),
+        device_preproc=device_preproc,
+    )
+    step = _build_stream_step(
+        model, num_classes=num_classes, conf_thre=conf_thre,
+        nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+        compute_dtype=compute_dtype, device_preproc=device_preproc,
+    )
+    scale = 2 if device_preproc else 1
+    image = np.zeros(
+        (1, scale * input_size[0], scale * input_size[1], 3), np.uint8)
+    key = _stream_aot_key(model, variables, image.shape, **config)
+    star_path, buf_path = _stream_executable_paths(aot_dir, key)
+
+    star, t_star = aot_compile(step, variables, image, None)
+    save_executable(star, star_path)
+    _, buffer = star(variables, image, None)
+    steady, t_buf = aot_compile(step, variables, image, buffer, donate_argnums=2)
+    save_executable(steady, buf_path)
+    get_logger().info(
+        "exported AOT stream executables (star %.1fs, steady %.1fs) -> %s",
+        t_star, t_buf, aot_dir)
+    return star_path, buf_path
+
+
 class TPUStreamDetector:
     """Stateful streaming detector: carries the DFP buffer across frames.
 
@@ -52,11 +168,10 @@ class TPUStreamDetector:
         use_bf16: bool = True,
         device_preproc: bool = False,
         mesh=None,
+        aot_dir: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
-
-        from streamyolo_tpu.ops.nms import postprocess_fixed
 
         if mesh is not None and device_preproc:
             raise ValueError(
@@ -69,28 +184,15 @@ class TPUStreamDetector:
         self.n_saturated = 0  # frames where the top-k candidate cap bit
         self.device_preproc = device_preproc
         self._buffer = None
+        self.aot_loaded = False
         self.variables = jax.device_put(variables)
         compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
-        def _step(variables, image, buffer):
-            if device_preproc:
-                # raw [1, 2H, 2W, 3] uint8 in: fused 0.5x downsample +
-                # cv2-parity round (floor(x+0.5), the uint8 write cv2 does)
-                # + cast, all on device — Pallas kernel when verified, jnp
-                # twin otherwise (ops/preproc_pallas.py).
-                from streamyolo_tpu.ops.preproc_pallas import downsample2x_auto
-
-                ds = downsample2x_auto(image[0], out_dtype=jnp.float32)
-                x = jnp.clip(jnp.floor(ds + 0.5), 0, 255)[None]
-                x = x.astype(compute_dtype)
-            else:
-                x = image.astype(compute_dtype)
-            preds, new_buffer = model.apply(variables, x, buffer=buffer, mode="on_pipe")
-            dets = postprocess_fixed(
-                preds, num_classes=num_classes, conf_thre=conf_thre,
-                nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
-            )
-            return dets, new_buffer
+        _step = _build_stream_step(
+            model, num_classes=num_classes, conf_thre=conf_thre,
+            nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+            compute_dtype=compute_dtype, device_preproc=device_preproc,
+        )
 
         if mesh is not None and mesh.devices.size > 1:
             # Spatial latency mode: one frame's rows sliced over the mesh
@@ -115,10 +217,42 @@ class TPUStreamDetector:
             self._step_star = self._step_buf = jax.jit(_step)
             self._device_put = lambda x: jax.device_put(x, rows)
         else:
-            # star (first frame) and steady-state (donated buffer) programs
-            self._step_star = jax.jit(_step)
-            self._step_buf = jax.jit(_step, donate_argnums=2)
             self._device_put = jax.device_put
+            if aot_dir is not None:
+                # Serving from serialized executables (written by
+                # `export_stream_executables` / `tools/precompile.py --serve`):
+                # construction is a file read, the first frame never traces or
+                # compiles. Any mismatch (shapes, thresholds, model, device,
+                # jax version) changes the key, so a stale artifact is a cache
+                # miss, not a wrong answer.
+                scale = 2 if device_preproc else 1
+                key = _stream_aot_key(
+                    model, self.variables,
+                    (1, scale * input_size[0], scale * input_size[1], 3),
+                    num_classes=num_classes, conf_thre=conf_thre,
+                    nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+                    compute_dtype=str(compute_dtype.__name__),
+                    device_preproc=device_preproc,
+                )
+                from streamyolo_tpu.utils.aot import load_executable
+
+                star_path, buf_path = _stream_executable_paths(aot_dir, key)
+                star, steady = load_executable(star_path), load_executable(buf_path)
+                if star is not None and steady is not None:
+                    self._step_star, self._step_buf = star, steady
+                    self.aot_loaded = True
+                    get_logger().info(
+                        "loaded AOT executable pair (key %s) from %s — "
+                        "compile-free startup", key[:20], aot_dir)
+                else:
+                    get_logger().warning(
+                        "no AOT executables for key %s under %s — falling "
+                        "back to jit (run tools/precompile.py --serve)",
+                        key[:20], aot_dir)
+            if not self.aot_loaded:
+                # star (first frame) and steady-state (donated buffer) programs
+                self._step_star = jax.jit(_step)
+                self._step_buf = jax.jit(_step, donate_argnums=2)
 
     def reset(self):
         self._buffer = None

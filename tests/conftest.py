@@ -37,9 +37,14 @@ FAKE_H, FAKE_W = 60, 96
 FAKE_IMG_SIZE = (30, 48)
 
 
-def write_fake_argoverse(root, seq_lens=(4, 3)):
+def write_fake_argoverse(root, seq_lens=(4, 3), draw_boxes=False,
+                         box_wh=(10, 8)):
     """Materialize the synthetic dataset under ``root`` with one sequence per
-    entry of ``seq_lens``; returns ``str(root)``."""
+    entry of ``seq_lens``; returns ``str(root)``.
+
+    ``draw_boxes=True`` renders each annotation as a bright rectangle on a
+    dark background so the box is VISIBLE — required by any test that trains
+    on this data (the default flat frames carry no signal at the box)."""
     import json
 
     import cv2
@@ -49,20 +54,26 @@ def write_fake_argoverse(root, seq_lens=(4, 3)):
     seq_dirs = [f"seq{sid}" for sid in range(len(seq_lens))]
     images, annotations = [], []
     img_id = ann_id = 0
+    bw, bh = box_wh
     for sid, n_frames in enumerate(seq_lens):
         d = root / "Argoverse-1.1" / "tracking" / seq_dirs[sid]
         d.mkdir(parents=True)
         for fid in range(n_frames):
             name = f"f{fid}.jpg"
-            frame = np.full((FAKE_H, FAKE_W, 3), 30 * (img_id + 1) % 255, np.uint8)
+            x = 10 + 2 * fid
+            if draw_boxes:
+                frame = np.full((FAKE_H, FAKE_W, 3), 24, np.uint8)
+                frame[20:20 + bh, x:x + bw] = (40, 230, 90)
+            else:
+                frame = np.full(
+                    (FAKE_H, FAKE_W, 3), 30 * (img_id + 1) % 255, np.uint8)
             cv2.imwrite(str(d / name), frame)
             images.append(
                 dict(id=img_id, width=FAKE_W, height=FAKE_H, sid=sid, fid=fid, name=name)
             )
-            x = 10 + 2 * fid
             annotations.append(
                 dict(id=ann_id, image_id=img_id, category_id=2,
-                     bbox=[x, 20, 10, 8], area=80, iscrowd=0)
+                     bbox=[x, 20, bw, bh], area=bw * bh, iscrowd=0)
             )
             ann_id += 1
             img_id += 1

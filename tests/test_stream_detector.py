@@ -156,6 +156,57 @@ def test_spatial_mesh_rejects_device_preproc(tiny_model):
         )
 
 
+def test_aot_serialized_detector_loads_without_tracing(tiny_model, tmp_path,
+                                                       monkeypatch):
+    """The TensorRT-engine slot closed end-to-end: export_stream_executables
+    serializes the star + steady-state programs; a detector constructed with
+    ``aot_dir`` loads them (``aot_loaded``), never calls ``jax.jit`` (poisoned
+    here), and its detections match the jit path exactly."""
+    from streamyolo_tpu.stream import export_stream_executables
+
+    model, variables = tiny_model
+    star_path, buf_path = export_stream_executables(
+        model, variables, str(tmp_path),
+        input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=0.05, nms_thre=0.5,
+        num_classes=8, pre_nms_topk=32, use_bf16=False,
+    )
+    assert os.path.isfile(star_path) and os.path.isfile(buf_path)
+
+    rs = np.random.RandomState(7)
+    frames = [rs.randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
+              for _ in range(3)]
+    ref = _make_detector(tiny_model)
+    want = [ref(f) for f in frames]
+
+    import jax
+
+    def poisoned_jit(*a, **k):
+        raise AssertionError("AOT detector construction must not trace/jit")
+
+    monkeypatch.setattr(jax, "jit", poisoned_jit)
+    det = _make_detector(tiny_model, aot_dir=str(tmp_path))
+    assert det.aot_loaded
+    for f, (bb, sc, lb, _) in zip(frames, want):
+        b, s, l, m = det(f)
+        assert m is None
+        np.testing.assert_array_equal(b, bb)
+        np.testing.assert_array_equal(s, sc)
+        np.testing.assert_array_equal(l, lb)
+    monkeypatch.undo()
+
+    # a config mismatch is a key miss -> loud fallback to jit, still correct
+    from streamyolo_tpu.stream import TPUStreamDetector
+
+    det2 = TPUStreamDetector(
+        model, variables, input_size=(FAKE_H // 2, FAKE_W // 2), in_scale=0.5,
+        conf_thre=0.05, nms_thre=0.45, num_classes=8, pre_nms_topk=32,
+        use_bf16=False, aot_dir=str(tmp_path),
+    )
+    assert not det2.aot_loaded
+    b, s, l, _ = det2(frames[0])
+    assert len(b) == len(s) == len(l)
+
+
 # ---------------------------------------------------------------------------
 # MultiStreamDetector: N streams in one batched on_pipe step
 # ---------------------------------------------------------------------------

@@ -118,19 +118,27 @@ def _build_model(depth, width, dtype, packed=True):
 
 
 def _stream_chain(jax, jnp, model, variables, batch, cast_dtype):
-    """The bench.py streaming chain at configurable batch/dtype."""
+    """The bench.py streaming chain at configurable batch/dtype.
+
+    Operating point = the deployed detector defaults (conf 0.01 / NMS 0.65 /
+    top-k 200, `stream/online.py`). For batch > 1 the steady-state program
+    is exactly ``MultiStreamDetector``'s: it includes the all-False
+    ``star_mask`` per-row select that per-stream restarts ride on."""
     from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    star_mask = jnp.zeros((batch,), bool) if batch > 1 else None
 
     @jax.jit
     def chain(v, x, b):
         def body(i, carry):
             b, acc = carry
             preds, nb = model.apply(
-                v, x.astype(cast_dtype), buffer=b, mode="on_pipe"
+                v, x.astype(cast_dtype), buffer=b, mode="on_pipe",
+                star_mask=star_mask,
             )
             dets = postprocess_fixed(
-                preds, num_classes=8, conf_thre=0.3, nms_thre=0.5,
-                pre_nms_topk=100,
+                preds, num_classes=8, conf_thre=0.01, nms_thre=0.65,
+                pre_nms_topk=200,
             )
             # reduce over the WHOLE detection tensor (incl. the keep flags)
             # so XLA cannot dead-code-eliminate the NMS suppression

@@ -27,6 +27,18 @@ def main():
                         help="also warm the train step (slowest compile)")
     parser.add_argument("--train-batch", type=int, default=4)
     parser.add_argument("--fp16", action="store_true", default=True)
+    parser.add_argument("--serve", metavar="AOT_DIR", default=None,
+                        help="also AOT-compile the TPUStreamDetector star + "
+                             "steady-state programs at the serving defaults "
+                             "and serialize them under AOT_DIR; a detector "
+                             "constructed with aot_dir=AOT_DIR then starts "
+                             "compile-free (the TensorRT-engine slot)")
+    parser.add_argument("--conf", type=float, default=0.01,
+                        help="serving conf threshold (detector default)")
+    parser.add_argument("--nms", type=float, default=0.65,
+                        help="serving NMS threshold (detector default)")
+    parser.add_argument("--topk", type=int, default=200,
+                        help="serving pre-NMS top-k (detector default)")
     args = parser.parse_args()
 
     import numpy as np
@@ -49,13 +61,14 @@ def main():
 
     import jax
 
-    # 1) streaming step (star + steady state)
+    # 1) streaming step (star + steady state) at the serving operating point
+    #    (conf/nms/topk must match TPUStreamDetector's or the cache misses)
     t0 = time.perf_counter()
 
     def _stream(v, x, b):
         preds, nb = model.apply(v, x, buffer=b, mode="on_pipe", train=False)
         dets = postprocess_fixed(
-            preds, exp.num_classes, 0.3, 0.5, pre_nms_topk=100
+            preds, exp.num_classes, args.conf, args.nms, pre_nms_topk=args.topk
         )
         return dets, nb
 
@@ -65,6 +78,20 @@ def main():
     dets, buf = jax.jit(_stream, donate_argnums=2)(variables, frame, buf)
     np.asarray(dets)
     print(f"streaming step warmed in {time.perf_counter() - t0:.1f}s")
+
+    # 1b) serialized serving executables (uint8-input detector programs)
+    if args.serve:
+        from streamyolo_tpu.stream import export_stream_executables
+
+        t0 = time.perf_counter()
+        star_path, buf_path = export_stream_executables(
+            model, variables, args.serve,
+            input_size=(h, w), conf_thre=args.conf, nms_thre=args.nms,
+            num_classes=exp.num_classes, pre_nms_topk=args.topk,
+            use_bf16=args.fp16,
+        )
+        print(f"serving executables exported in {time.perf_counter() - t0:.1f}s:"
+              f"\n  {star_path}\n  {buf_path}")
 
     # 2) batched offline eval
     t0 = time.perf_counter()
