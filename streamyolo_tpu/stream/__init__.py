@@ -3,6 +3,7 @@ from streamyolo_tpu.stream.online import (
     MultiStreamDetector,
     SimulatedDetector,
     TPUStreamDetector,
+    export_multi_stream_executables,
     export_stream_executables,
     print_stats,
     run_streaming_detection,

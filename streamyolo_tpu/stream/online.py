@@ -79,8 +79,8 @@ def _stream_aot_key(model, variables, image_shape, **config) -> str:
                    str(getattr(a, "dtype", type(a).__name__))),
         variables,
     )
+    config.setdefault("kind", "stream_step")
     return executable_key(
-        kind="stream_step",
         model=hashlib.sha256(repr(model).encode()).hexdigest(),
         variables=hashlib.sha256(repr(avals).encode()).hexdigest(),
         image_shape=tuple(image_shape),
@@ -145,6 +145,78 @@ def export_stream_executables(
     get_logger().info(
         "exported AOT stream executables (star %.1fs, steady %.1fs) -> %s",
         t_star, t_buf, aot_dir)
+    return star_path, buf_path
+
+
+def _build_multi_stream_step(model, *, num_classes, conf_thre, nms_thre,
+                             pre_nms_topk, compute_dtype):
+    """MultiStreamDetector's batched per-step device program (shared by the
+    jit and AOT paths): N frames -> cast -> batched on_pipe with per-row
+    star_mask -> decode -> fixed-shape NMS."""
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    def _step(variables, images, buffer, star_mask):
+        x = images.astype(compute_dtype)
+        preds, new_buffer = model.apply(
+            variables, x, buffer=buffer, mode="on_pipe",
+            star_mask=star_mask,
+        )
+        dets = postprocess_fixed(
+            preds, num_classes=num_classes, conf_thre=conf_thre,
+            nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+        )
+        return dets, new_buffer
+
+    return _step
+
+
+def export_multi_stream_executables(
+    model,
+    variables,
+    aot_dir: str,
+    *,
+    n_streams: int,
+    input_size: Tuple[int, int] = (600, 960),
+    conf_thre: float = 0.01,
+    nms_thre: float = 0.65,
+    num_classes: int = 8,
+    pre_nms_topk: int = 200,
+    use_bf16: bool = True,
+) -> Tuple[str, str]:
+    """`export_stream_executables` for the batched N-camera program: a later
+    ``MultiStreamDetector(..., aot_dir=...)`` with the same configuration
+    starts compile-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamyolo_tpu.utils.aot import aot_compile, save_executable
+
+    variables = jax.device_put(variables)
+    compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    step = _build_multi_stream_step(
+        model, num_classes=num_classes, conf_thre=conf_thre,
+        nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+        compute_dtype=compute_dtype,
+    )
+    images = np.zeros((n_streams, input_size[0], input_size[1], 3), np.uint8)
+    key = _stream_aot_key(
+        model, variables, images.shape,
+        kind="multi_stream_step", num_classes=num_classes,
+        conf_thre=conf_thre, nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+        compute_dtype=str(compute_dtype.__name__),
+    )
+    star_path, buf_path = _stream_executable_paths(aot_dir, key)
+
+    star, t_star = aot_compile(step, variables, images, None, None)
+    save_executable(star, star_path)
+    _, buffer = star(variables, images, None, None)
+    mask = np.zeros(n_streams, bool)
+    steady, t_buf = aot_compile(
+        step, variables, images, buffer, mask, donate_argnums=2)
+    save_executable(steady, buf_path)
+    get_logger().info(
+        "exported multi-stream AOT executables for %d streams (star %.1fs, "
+        "steady %.1fs) -> %s", n_streams, t_star, t_buf, aot_dir)
     return star_path, buf_path
 
 
@@ -327,8 +399,10 @@ class MultiStreamDetector:
     own slice of the DFP buffer — so N streams cost one batched dispatch
     instead of N single-frame dispatches, and the batch amortizes the
     per-level narrow tails far better than b=1 (the README multi-stream
-    row: 8 StreamYOLO-l streams in 5.17 ms = 1548 frames/s/chip vs 679 at
-    b=1; int8 PTQ 1844). The reference can only scale streams by adding
+    row: 8 StreamYOLO-l streams in 5.01 ms = 1597 frames/s/chip vs 743 at
+    b=1; int8 PTQ 1844 — measured on this class's steady-state program at
+    the serving operating point). The reference can only scale streams by
+    adding
     GPUs — one process per stream (`/root/reference/sAP/streamyolo/
     streamyolo_det.py` drives exactly one sequence per run).
 
@@ -357,11 +431,10 @@ class MultiStreamDetector:
         num_classes: int = 8,
         pre_nms_topk: int = 200,
         use_bf16: bool = True,
+        aot_dir: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
-
-        from streamyolo_tpu.ops.nms import postprocess_fixed
 
         assert n_streams >= 1
         self.n_streams = n_streams
@@ -372,24 +445,47 @@ class MultiStreamDetector:
         self.n_saturated = 0
         self._buffer = None
         self._pending_star = np.zeros(n_streams, bool)
+        self.aot_loaded = False
         self.variables = jax.device_put(variables)
         compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
-        def _step(variables, images, buffer, star_mask):
-            x = images.astype(compute_dtype)
-            preds, new_buffer = model.apply(
-                variables, x, buffer=buffer, mode="on_pipe",
-                star_mask=star_mask,
-            )
-            dets = postprocess_fixed(
-                preds, num_classes=num_classes, conf_thre=conf_thre,
-                nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
-            )
-            return dets, new_buffer
+        _step = _build_multi_stream_step(
+            model, num_classes=num_classes, conf_thre=conf_thre,
+            nms_thre=nms_thre, pre_nms_topk=pre_nms_topk,
+            compute_dtype=compute_dtype,
+        )
 
-        # first batch (all streams star) and steady state (donated carry)
-        self._step_star = jax.jit(_step)
-        self._step_buf = jax.jit(_step, donate_argnums=2)
+        if aot_dir is not None:
+            # Compile-free N-camera startup from serialized executables
+            # (written by `export_multi_stream_executables` /
+            # `tools/precompile.py --serve DIR --streams N`).
+            key = _stream_aot_key(
+                model, self.variables,
+                (n_streams, input_size[0], input_size[1], 3),
+                kind="multi_stream_step", num_classes=num_classes,
+                conf_thre=conf_thre, nms_thre=nms_thre,
+                pre_nms_topk=pre_nms_topk,
+                compute_dtype=str(compute_dtype.__name__),
+            )
+            from streamyolo_tpu.utils.aot import load_executable
+
+            star_path, buf_path = _stream_executable_paths(aot_dir, key)
+            star, steady = load_executable(star_path), load_executable(buf_path)
+            if star is not None and steady is not None:
+                self._step_star, self._step_buf = star, steady
+                self.aot_loaded = True
+                get_logger().info(
+                    "loaded multi-stream AOT executable pair (key %s) from "
+                    "%s — compile-free startup", key[:20], aot_dir)
+            else:
+                get_logger().warning(
+                    "no multi-stream AOT executables for key %s under %s — "
+                    "falling back to jit (run tools/precompile.py --serve "
+                    "DIR --streams %d)", key[:20], aot_dir, n_streams)
+        if not self.aot_loaded:
+            # first batch (all streams star) and steady state (donated carry)
+            self._step_star = jax.jit(_step)
+            self._step_buf = jax.jit(_step, donate_argnums=2)
         self._device_put = jax.device_put
 
     def reset(self, stream: Optional[int] = None):

@@ -228,6 +228,47 @@ def _make_multi(tiny_model, n_streams, **kw):
     )
 
 
+def test_multi_stream_aot_serialized(tiny_model, tmp_path, monkeypatch):
+    """MultiStreamDetector(aot_dir=...) loads the serialized batched
+    executables without tracing and matches the jit path, including a
+    per-stream reset through the star-mask program."""
+    from streamyolo_tpu.stream import export_multi_stream_executables
+
+    model, variables = tiny_model
+    export_multi_stream_executables(
+        model, variables, str(tmp_path), n_streams=2,
+        input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=1e-5, nms_thre=0.5,
+        num_classes=8, pre_nms_topk=32, use_bf16=False,
+    )
+
+    rs = np.random.RandomState(9)
+    frames = [np.stack([rs.randint(0, 255, (FAKE_H // 2, FAKE_W // 2, 3),
+                                   np.uint8)] * 2) for _ in range(3)]
+    ref = _make_multi(tiny_model, 2)
+    want = []
+    for i, f in enumerate(frames):
+        if i == 2:
+            ref.reset(1)
+        want.append(ref(f, preprocessed=True))
+
+    import jax
+
+    def poisoned_jit(*a, **k):
+        raise AssertionError("AOT multi-stream construction must not jit")
+
+    monkeypatch.setattr(jax, "jit", poisoned_jit)
+    det = _make_multi(tiny_model, 2, aot_dir=str(tmp_path))
+    assert det.aot_loaded
+    for i, (f, outs) in enumerate(zip(frames, want)):
+        if i == 2:
+            det.reset(1)
+        got = det(f, preprocessed=True)
+        for (b0, s0, l0, _), (b1, s1, l1, _) in zip(outs, got):
+            np.testing.assert_array_equal(b1, b0)
+            np.testing.assert_array_equal(s1, s0)
+            np.testing.assert_array_equal(l1, l0)
+
+
 def test_on_pipe_star_mask_row_semantics(tiny_model):
     """star_mask selects per ROW between buffer fuse and star (self) fuse —
     bit-exact against the unmasked programs on the same batch."""

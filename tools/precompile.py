@@ -39,6 +39,9 @@ def main():
                         help="serving NMS threshold (detector default)")
     parser.add_argument("--topk", type=int, default=200,
                         help="serving pre-NMS top-k (detector default)")
+    parser.add_argument("--streams", type=int, default=0,
+                        help="with --serve: also export the batched "
+                             "MultiStreamDetector executables for N streams")
     args = parser.parse_args()
 
     import numpy as np
@@ -92,6 +95,19 @@ def main():
         )
         print(f"serving executables exported in {time.perf_counter() - t0:.1f}s:"
               f"\n  {star_path}\n  {buf_path}")
+        if args.streams:
+            from streamyolo_tpu.stream import export_multi_stream_executables
+
+            t0 = time.perf_counter()
+            star_path, buf_path = export_multi_stream_executables(
+                model, variables, args.serve, n_streams=args.streams,
+                input_size=(h, w), conf_thre=args.conf, nms_thre=args.nms,
+                num_classes=exp.num_classes, pre_nms_topk=args.topk,
+                use_bf16=args.fp16,
+            )
+            print(f"{args.streams}-stream executables exported in "
+                  f"{time.perf_counter() - t0:.1f}s:"
+                  f"\n  {star_path}\n  {buf_path}")
 
     # 2) batched offline eval
     t0 = time.perf_counter()

@@ -41,6 +41,11 @@ def parse_args():
                              "(srt_det_inf protocol); requires --sim-zoo")
     parser.add_argument("--sim-name", type=str, default=None, help="zoo entry name")
     parser.add_argument("--perf-factor", type=float, default=1.0)
+    parser.add_argument("--aot-dir", type=str, default=None,
+                        help="load serialized serving executables from this "
+                             "directory (tools/precompile.py --serve) — "
+                             "compile-free startup; falls back to jit on a "
+                             "key miss")
     return parser.parse_args()
 
 
@@ -71,7 +76,7 @@ def main():
     detector = TPUStreamDetector(
         model, variables, input_size=(h, w), in_scale=args.in_scale,
         conf_thre=args.conf, nms_thre=args.nms, num_classes=exp.num_classes,
-        use_bf16=not args.fp32,
+        use_bf16=not args.fp32, aot_dir=args.aot_dir,
     )
     detector.warmup(10)
 
