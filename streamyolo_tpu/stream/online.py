@@ -311,11 +311,32 @@ class TPUStreamDetector:
                 star_path, buf_path = _stream_executable_paths(aot_dir, key)
                 star, steady = load_executable(star_path), load_executable(buf_path)
                 if star is not None and steady is not None:
-                    self._step_star, self._step_buf = star, steady
-                    self.aot_loaded = True
-                    get_logger().info(
-                        "loaded AOT executable pair (key %s) from %s — "
-                        "compile-free startup", key[:20], aot_dir)
+                    # Probe both executables with one real execution before
+                    # they may serve traffic: deserialization can succeed
+                    # while execution later fails (observed on XLA:CPU — a
+                    # "Buffer Definition Event: Function ... not found"
+                    # symbol-registry collision in processes that already
+                    # compiled many programs). The probe doubles as the
+                    # serving warmup, so the first real frame runs at
+                    # steady-state speed.
+                    probe = np.zeros(
+                        (1, scale * input_size[0], scale * input_size[1], 3),
+                        np.uint8)
+                    try:
+                        _, pbuf = star(self.variables, probe, None)
+                        pdets, pbuf = steady(self.variables, probe, pbuf)
+                        jax.block_until_ready((pdets, pbuf))
+                    except Exception as e:  # noqa: BLE001 — any failure re-jits
+                        get_logger().warning(
+                            "AOT executables under %s loaded but failed the "
+                            "execution probe (%s) — falling back to jit",
+                            aot_dir, e)
+                    else:
+                        self._step_star, self._step_buf = star, steady
+                        self.aot_loaded = True
+                        get_logger().info(
+                            "loaded AOT executable pair (key %s) from %s — "
+                            "compile-free startup", key[:20], aot_dir)
                 else:
                     get_logger().warning(
                         "no AOT executables for key %s under %s — falling "
@@ -472,11 +493,27 @@ class MultiStreamDetector:
             star_path, buf_path = _stream_executable_paths(aot_dir, key)
             star, steady = load_executable(star_path), load_executable(buf_path)
             if star is not None and steady is not None:
-                self._step_star, self._step_buf = star, steady
-                self.aot_loaded = True
-                get_logger().info(
-                    "loaded multi-stream AOT executable pair (key %s) from "
-                    "%s — compile-free startup", key[:20], aot_dir)
+                # Execution probe before serving (see TPUStreamDetector:
+                # deserialization can succeed while execution fails); also
+                # the warmup, so the first real batch runs steady-state.
+                probe = np.zeros(
+                    (n_streams, input_size[0], input_size[1], 3), np.uint8)
+                mask = np.zeros(n_streams, bool)
+                try:
+                    _, pbuf = star(self.variables, probe, None, None)
+                    pdets, pbuf = steady(self.variables, probe, pbuf, mask)
+                    jax.block_until_ready((pdets, pbuf))
+                except Exception as e:  # noqa: BLE001 — any failure re-jits
+                    get_logger().warning(
+                        "multi-stream AOT executables under %s loaded but "
+                        "failed the execution probe (%s) — falling back to "
+                        "jit", aot_dir, e)
+                else:
+                    self._step_star, self._step_buf = star, steady
+                    self.aot_loaded = True
+                    get_logger().info(
+                        "loaded multi-stream AOT executable pair (key %s) "
+                        "from %s — compile-free startup", key[:20], aot_dir)
             else:
                 get_logger().warning(
                     "no multi-stream AOT executables for key %s under %s — "

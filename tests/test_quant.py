@@ -297,8 +297,16 @@ def test_int8_ptq_sap_bound_on_trained_model(tmp_path, tmp_path_factory):
     real-data validation (VERDICT r3 weak #3)."""
     import argparse
     import functools
+    import random
 
     pytest.importorskip("cv2")
+
+    # Pin the host-side RNG the augmentations draw from (what tools/train.py
+    # does when exp.seed is set): whether 200 SGD steps clear the sAP50
+    # threshold must not depend on the global `random`/`np.random` state
+    # earlier tests happened to leave behind.
+    random.seed(20240819)
+    np.random.seed(20240819)
 
     from streamyolo_tpu.exp import get_exp
     from streamyolo_tpu.quant import quantize_for_serving

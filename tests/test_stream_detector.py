@@ -156,20 +156,47 @@ def test_spatial_mesh_rejects_device_preproc(tiny_model):
         )
 
 
-def test_aot_serialized_detector_loads_without_tracing(tiny_model, tmp_path,
-                                                       monkeypatch):
+def _run_aot_child(tmp_path):
+    """Spawn tests/_aot_serve_child.py on tmp_path. Same virtual device
+    count as this process: the executable key includes n_devices, so a
+    mismatch would be a key miss (=> jit => the child's poison trips)."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "_aot_serve_child.py"),
+         str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "CHILD_OK" in proc.stdout
+
+
+def test_aot_serialized_detector_loads_without_tracing(tiny_model, tmp_path):
     """The TensorRT-engine slot closed end-to-end: export_stream_executables
-    serializes the star + steady-state programs; a detector constructed with
-    ``aot_dir`` loads them (``aot_loaded``), never calls ``jax.jit`` (poisoned
-    here), and its detections match the jit path exactly."""
+    serializes the star + steady-state programs; a FRESH serving process
+    (tests/_aot_serve_child.py — the scenario the artifacts exist for)
+    constructs a detector with ``aot_dir``, loads them (``aot_loaded``),
+    never calls ``jax.jit`` (poisoned in the child), and its detections match
+    the parent's jit path exactly. Run in a subprocess on purpose: in a
+    process that already compiled many programs, XLA:CPU can fail a
+    deserialized executable AT EXECUTION ("Buffer Definition Event: Function
+    ... not found") — the detector's construction probe then correctly
+    re-jits, which would make an in-process no-tracing assertion flaky."""
     from streamyolo_tpu.stream import export_stream_executables
 
     model, variables = tiny_model
-    star_path, buf_path = export_stream_executables(
-        model, variables, str(tmp_path),
+    kwargs = dict(
         input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=0.05, nms_thre=0.5,
         num_classes=8, pre_nms_topk=32, use_bf16=False,
     )
+    star_path, buf_path = export_stream_executables(
+        model, variables, str(tmp_path), **kwargs)
     assert os.path.isfile(star_path) and os.path.isfile(buf_path)
 
     rs = np.random.RandomState(7)
@@ -178,21 +205,32 @@ def test_aot_serialized_detector_loads_without_tracing(tiny_model, tmp_path,
     ref = _make_detector(tiny_model)
     want = [ref(f) for f in frames]
 
-    import jax
+    with open(tmp_path / "setup.pkl", "wb") as f:
+        pickle.dump(dict(
+            mode="single", variables=variables, depth=0.33, width=0.25,
+            detector_kwargs=dict(kwargs, in_scale=0.5,
+                                 aot_dir=str(tmp_path)),
+        ), f)
+    np.savez(tmp_path / "frames.npz",
+             **{f"frame_{i}": fr for i, fr in enumerate(frames)})
+    np.savez(tmp_path / "want.npz",
+             **{f"{name}_{i}": arr
+                for i, (bb, sc, lb, _) in enumerate(want)
+                for name, arr in
+                (("boxes", bb), ("scores", sc), ("labels", lb))})
 
-    def poisoned_jit(*a, **k):
-        raise AssertionError("AOT detector construction must not trace/jit")
+    _run_aot_child(tmp_path)
 
-    monkeypatch.setattr(jax, "jit", poisoned_jit)
+    # In-process: the AOT path must be CORRECT here too — aot_loaded may be
+    # legitimately False (execution-probe fallback in a long-lived process),
+    # but detections must match either way.
     det = _make_detector(tiny_model, aot_dir=str(tmp_path))
-    assert det.aot_loaded
     for f, (bb, sc, lb, _) in zip(frames, want):
         b, s, l, m = det(f)
         assert m is None
         np.testing.assert_array_equal(b, bb)
         np.testing.assert_array_equal(s, sc)
         np.testing.assert_array_equal(l, lb)
-    monkeypatch.undo()
 
     # a config mismatch is a key miss -> loud fallback to jit, still correct
     from streamyolo_tpu.stream import TPUStreamDetector
@@ -228,18 +266,21 @@ def _make_multi(tiny_model, n_streams, **kw):
     )
 
 
-def test_multi_stream_aot_serialized(tiny_model, tmp_path, monkeypatch):
-    """MultiStreamDetector(aot_dir=...) loads the serialized batched
-    executables without tracing and matches the jit path, including a
-    per-stream reset through the star-mask program."""
+def test_multi_stream_aot_serialized(tiny_model, tmp_path):
+    """MultiStreamDetector(aot_dir=...) in a FRESH serving process loads the
+    serialized batched executables without tracing (jit poisoned in the
+    child) and matches the jit path, including a per-stream reset through
+    the star-mask program. Subprocess for the same reason as the
+    single-stream test above."""
     from streamyolo_tpu.stream import export_multi_stream_executables
 
     model, variables = tiny_model
-    export_multi_stream_executables(
-        model, variables, str(tmp_path), n_streams=2,
+    kwargs = dict(
         input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=1e-5, nms_thre=0.5,
         num_classes=8, pre_nms_topk=32, use_bf16=False,
     )
+    export_multi_stream_executables(
+        model, variables, str(tmp_path), n_streams=2, **kwargs)
 
     rs = np.random.RandomState(9)
     frames = [np.stack([rs.randint(0, 255, (FAKE_H // 2, FAKE_W // 2, 3),
@@ -251,14 +292,26 @@ def test_multi_stream_aot_serialized(tiny_model, tmp_path, monkeypatch):
             ref.reset(1)
         want.append(ref(f, preprocessed=True))
 
-    import jax
+    with open(tmp_path / "setup.pkl", "wb") as f:
+        pickle.dump(dict(
+            mode="multi", variables=variables, depth=0.33, width=0.25,
+            n_streams=2, reset_stream_at=(2, 1),
+            detector_kwargs=dict(kwargs, in_scale=0.5,
+                                 aot_dir=str(tmp_path)),
+        ), f)
+    np.savez(tmp_path / "frames.npz",
+             **{f"frame_{i}": fr for i, fr in enumerate(frames)})
+    np.savez(tmp_path / "want.npz",
+             **{f"{name}_{i}_{j}": arr
+                for i, outs in enumerate(want)
+                for j, (bb, sc, lb, _) in enumerate(outs)
+                for name, arr in
+                (("boxes", bb), ("scores", sc), ("labels", lb))})
+    _run_aot_child(tmp_path)
 
-    def poisoned_jit(*a, **k):
-        raise AssertionError("AOT multi-stream construction must not jit")
-
-    monkeypatch.setattr(jax, "jit", poisoned_jit)
+    # In-process: correct with or without the AOT fast path (the execution
+    # probe may legitimately fall back to jit in a long-lived process).
     det = _make_multi(tiny_model, 2, aot_dir=str(tmp_path))
-    assert det.aot_loaded
     for i, (f, outs) in enumerate(zip(frames, want)):
         if i == 2:
             det.reset(1)
