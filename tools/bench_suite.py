@@ -233,6 +233,39 @@ def bench_stream_int8(batch: int, n_samples: int, packed: bool = True):
                    "frames_per_sec": round(fps, 1)}}
 
 
+def bench_stream_sweep(batches, n_samples: int, int8: bool = False):
+    """Multi-stream scaling: the MultiStreamDetector steady-state program at
+    n = 1..N independent 600x960 camera streams (batch rows = streams, star
+    mask included for n > 1). Reports per-step latency, aggregate
+    frames/s/chip, and the implied per-chip capacity of 30 FPS cameras —
+    the largest n whose step still fits the 33.3 ms frame period (each
+    stream gets exactly one step per frame interval, so step_ms <= 1000/30
+    means every camera is served in real time). Reference bar: ONE stream on
+    a V100 (`/root/reference/sAP/streamyolo/streamyolo_det.py:152-195`)."""
+    deadline_ms = 1000.0 / 30.0
+    results = {}
+    rows = []
+    for b in batches:
+        fn = bench_stream_int8 if int8 else bench_stream
+        r = fn(b, n_samples) if int8 else fn("bf16", b, n_samples)
+        results.update(r)
+        (name, stats), = r.items()
+        rows.append((b, stats["ms_per_step"], stats["frames_per_sec"]))
+    fitting = [b for b, ms, _ in rows if ms <= deadline_ms]
+    tag = "int8" if int8 else "bf16"
+    print(f"[stream_sweep_{tag}] streams -> ms/step (aggregate frames/s):")
+    for b, ms, fps in rows:
+        fit = "fits 30 FPS" if ms <= deadline_ms else "MISSES 30 FPS"
+        print(f"  n={b:3d}: {ms:7.2f} ms  {fps:7.0f} f/s  "
+              f"{ms / b:5.2f} ms/frame  ({fit})")
+    if fitting:
+        cap = max(fitting)
+        print(f"  => capacity at 30 FPS/camera: >= {cap} streams/chip "
+              f"(largest measured n with step <= {deadline_ms:.1f} ms)")
+        results[f"capacity_30fps_{tag}"] = {"streams_per_chip": cap}
+    return results
+
+
 def bench_eval_fwd(batch: int, n_samples: int, depth: float = 1.0,
                    width: float = 1.0, int8: bool = False,
                    packed: bool = True):
@@ -505,8 +538,10 @@ def bench_train_parts(batch: int, n_samples: int, remat: bool = False,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("which", choices=[
-        "stream_fp32", "stream_int8", "serve8", "eval_fwd", "eval_dedup",
-        "train_s", "train_parts", "all"])
+        "stream_fp32", "stream_int8", "stream_sweep", "serve8", "eval_fwd",
+        "eval_dedup", "train_s", "train_parts", "all"])
+    p.add_argument("--batches", type=str, default="1,2,4,8,16,32",
+                   help="stream_sweep only: comma-separated stream counts")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--remat", action="store_true")
@@ -532,6 +567,10 @@ def main():
     if args.which == "stream_int8":
         results.update(bench_stream_int8(args.batch or 1, args.samples,
                                          packed=not args.no_packed))
+    if args.which == "stream_sweep":
+        batches = [int(b) for b in args.batches.split(",")]
+        results.update(bench_stream_sweep(batches, args.samples,
+                                          int8=args.int8))
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
