@@ -156,10 +156,12 @@ def test_spatial_mesh_rejects_device_preproc(tiny_model):
         )
 
 
-def _run_aot_child(tmp_path):
+def _run_aot_child(tmp_path, phase):
     """Spawn tests/_aot_serve_child.py on tmp_path. Same virtual device
     count as this process: the executable key includes n_devices, so a
-    mismatch would be a key miss (=> jit => the child's poison trips)."""
+    mismatch would be a key miss (=> jit => the serve child's poison
+    trips). Export runs in its own fresh process too — a long-compiled
+    process can emit artifacts a clean process refuses to execute."""
     import subprocess
 
     env = dict(
@@ -170,7 +172,7 @@ def _run_aot_child(tmp_path):
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "_aot_serve_child.py"),
-         str(tmp_path)],
+         str(tmp_path), phase],
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
@@ -183,54 +185,48 @@ def test_aot_serialized_detector_loads_without_tracing(tiny_model, tmp_path):
     (tests/_aot_serve_child.py — the scenario the artifacts exist for)
     constructs a detector with ``aot_dir``, loads them (``aot_loaded``),
     never calls ``jax.jit`` (poisoned in the child), and its detections match
-    the parent's jit path exactly. Run in a subprocess on purpose: in a
-    process that already compiled many programs, XLA:CPU can fail a
-    deserialized executable AT EXECUTION ("Buffer Definition Event: Function
-    ... not found") — the detector's construction probe then correctly
-    re-jits, which would make an in-process no-tracing assertion flaky."""
-    from streamyolo_tpu.stream import export_stream_executables
-
+    the jit path exactly. BOTH the export and the serve run in their own
+    fresh interpreter — production's actual shape (`tools/precompile.py
+    --serve` is a dedicated process) — because a long-compiled XLA:CPU
+    process can (a) fail a deserialized executable at execution ("Buffer
+    Definition Event: Function ... not found") and (b) export artifacts
+    whose embedded LLVM target features a clean process refuses; the
+    detector's probe turns both into a loud jit fallback, which would make
+    an in-process no-tracing assertion flaky."""
     model, variables = tiny_model
     kwargs = dict(
         input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=0.05, nms_thre=0.5,
         num_classes=8, pre_nms_topk=32, use_bf16=False,
     )
-    star_path, buf_path = export_stream_executables(
-        model, variables, str(tmp_path), **kwargs)
-    assert os.path.isfile(star_path) and os.path.isfile(buf_path)
-
     rs = np.random.RandomState(7)
     frames = [rs.randint(0, 255, (FAKE_H, FAKE_W, 3), np.uint8)
               for _ in range(3)]
-    ref = _make_detector(tiny_model)
-    want = [ref(f) for f in frames]
 
     with open(tmp_path / "setup.pkl", "wb") as f:
         pickle.dump(dict(
             mode="single", variables=variables, depth=0.33, width=0.25,
+            export_kwargs=kwargs,
             detector_kwargs=dict(kwargs, in_scale=0.5,
                                  aot_dir=str(tmp_path)),
         ), f)
     np.savez(tmp_path / "frames.npz",
              **{f"frame_{i}": fr for i, fr in enumerate(frames)})
-    np.savez(tmp_path / "want.npz",
-             **{f"{name}_{i}": arr
-                for i, (bb, sc, lb, _) in enumerate(want)
-                for name, arr in
-                (("boxes", bb), ("scores", sc), ("labels", lb))})
 
-    _run_aot_child(tmp_path)
+    _run_aot_child(tmp_path, "export")
+    assert [p for p in os.listdir(tmp_path) if p.endswith(".jaxexec")]
+    _run_aot_child(tmp_path, "serve")
 
     # In-process: the AOT path must be CORRECT here too — aot_loaded may be
     # legitimately False (execution-probe fallback in a long-lived process),
-    # but detections must match either way.
+    # but detections must match the clean processes' either way.
+    want_npz = np.load(tmp_path / "want.npz")
     det = _make_detector(tiny_model, aot_dir=str(tmp_path))
-    for f, (bb, sc, lb, _) in zip(frames, want):
+    for i, f in enumerate(frames):
         b, s, l, m = det(f)
         assert m is None
-        np.testing.assert_array_equal(b, bb)
-        np.testing.assert_array_equal(s, sc)
-        np.testing.assert_array_equal(l, lb)
+        np.testing.assert_array_equal(b, want_npz[f"boxes_{i}"])
+        np.testing.assert_array_equal(s, want_npz[f"scores_{i}"])
+        np.testing.assert_array_equal(l, want_npz[f"labels_{i}"])
 
     # a config mismatch is a key miss -> loud fallback to jit, still correct
     from streamyolo_tpu.stream import TPUStreamDetector
@@ -270,56 +266,43 @@ def test_multi_stream_aot_serialized(tiny_model, tmp_path):
     """MultiStreamDetector(aot_dir=...) in a FRESH serving process loads the
     serialized batched executables without tracing (jit poisoned in the
     child) and matches the jit path, including a per-stream reset through
-    the star-mask program. Subprocess for the same reason as the
-    single-stream test above."""
-    from streamyolo_tpu.stream import export_multi_stream_executables
-
+    the star-mask program. Export and serve each get their own fresh
+    interpreter for the same reasons as the single-stream test above."""
     model, variables = tiny_model
     kwargs = dict(
         input_size=(FAKE_H // 2, FAKE_W // 2), conf_thre=1e-5, nms_thre=0.5,
         num_classes=8, pre_nms_topk=32, use_bf16=False,
     )
-    export_multi_stream_executables(
-        model, variables, str(tmp_path), n_streams=2, **kwargs)
-
     rs = np.random.RandomState(9)
     frames = [np.stack([rs.randint(0, 255, (FAKE_H // 2, FAKE_W // 2, 3),
                                    np.uint8)] * 2) for _ in range(3)]
-    ref = _make_multi(tiny_model, 2)
-    want = []
-    for i, f in enumerate(frames):
-        if i == 2:
-            ref.reset(1)
-        want.append(ref(f, preprocessed=True))
 
     with open(tmp_path / "setup.pkl", "wb") as f:
         pickle.dump(dict(
             mode="multi", variables=variables, depth=0.33, width=0.25,
             n_streams=2, reset_stream_at=(2, 1),
+            export_kwargs=kwargs,
             detector_kwargs=dict(kwargs, in_scale=0.5,
                                  aot_dir=str(tmp_path)),
         ), f)
     np.savez(tmp_path / "frames.npz",
              **{f"frame_{i}": fr for i, fr in enumerate(frames)})
-    np.savez(tmp_path / "want.npz",
-             **{f"{name}_{i}_{j}": arr
-                for i, outs in enumerate(want)
-                for j, (bb, sc, lb, _) in enumerate(outs)
-                for name, arr in
-                (("boxes", bb), ("scores", sc), ("labels", lb))})
-    _run_aot_child(tmp_path)
+
+    _run_aot_child(tmp_path, "export")
+    _run_aot_child(tmp_path, "serve")
 
     # In-process: correct with or without the AOT fast path (the execution
     # probe may legitimately fall back to jit in a long-lived process).
+    want_npz = np.load(tmp_path / "want.npz")
     det = _make_multi(tiny_model, 2, aot_dir=str(tmp_path))
-    for i, (f, outs) in enumerate(zip(frames, want)):
+    for i, f in enumerate(frames):
         if i == 2:
             det.reset(1)
         got = det(f, preprocessed=True)
-        for (b0, s0, l0, _), (b1, s1, l1, _) in zip(outs, got):
-            np.testing.assert_array_equal(b1, b0)
-            np.testing.assert_array_equal(s1, s0)
-            np.testing.assert_array_equal(l1, l0)
+        for j, (b1, s1, l1, _) in enumerate(got):
+            np.testing.assert_array_equal(b1, want_npz[f"boxes_{i}_{j}"])
+            np.testing.assert_array_equal(s1, want_npz[f"scores_{i}_{j}"])
+            np.testing.assert_array_equal(l1, want_npz[f"labels_{i}_{j}"])
 
 
 def test_on_pipe_star_mask_row_semantics(tiny_model):
@@ -370,6 +353,25 @@ def test_multi_stream_single_matches_tpu_stream_detector(tiny_model):
         np.testing.assert_allclose(b1, b0, rtol=1e-6, atol=1e-5)
         np.testing.assert_allclose(s1, s0, rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(l1, l0)
+
+
+def test_multi_stream_reset_bounds_and_frame_promotion(tiny_model):
+    """`reset(i)` rejects out-of-range indices (a negative index must not
+    silently mark a stream from the end via numpy wrap-around), and the
+    preprocessed path promotes a single unstacked HWC frame to a batch of 1
+    ONLY for n_streams==1 — for n_streams>1 it is a count mismatch."""
+    multi = _make_multi(tiny_model, 2)
+    for bad in (-1, 2, 7):
+        with pytest.raises(IndexError):
+            multi.reset(bad)
+    multi.reset(1)  # in-range still fine
+    frame = np.zeros((FAKE_H // 2, FAKE_W // 2, 3), np.uint8)
+    with pytest.raises(AssertionError, match="expected 2 frames"):
+        multi(frame, preprocessed=True)
+
+    one = _make_multi(tiny_model, 1)
+    ((b, s, l, m),) = one(frame, preprocessed=True)  # HWC accepted as [1,HWC]
+    assert m is None and len(b) == len(s) == len(l)
 
 
 def test_multi_stream_rows_are_independent(tiny_model):
