@@ -137,11 +137,22 @@ def main():
         file=sys.stderr,
     )
 
+    # the operating point rides INSIDE the JSON so BENCH_r* rounds are
+    # self-describing (r3 measured a cheaper conf 0.3 / K=100 point; the
+    # apparent r3->r4 "regression" was that honesty correction)
     print(json.dumps({
         "metric": "streamyolo_l_stream_step_fps_600x960",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+        "operating_point": {
+            "conf_thre": CONF_THRE,
+            "nms_thre": NMS_THRE,
+            "pre_nms_topk": PRE_NMS_TOPK,
+            "dtype": "bf16",
+            "layout": "packed",
+            "step_ms": round(step_s * 1e3, 3),
+        },
     }))
 
 

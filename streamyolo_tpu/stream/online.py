@@ -420,7 +420,7 @@ class MultiStreamDetector:
     own slice of the DFP buffer — so N streams cost one batched dispatch
     instead of N single-frame dispatches, and the batch amortizes the
     per-level narrow tails far better than b=1 (the README multi-stream
-    row: 8 StreamYOLO-l streams in 5.01 ms = 1597 frames/s/chip vs 743 at
+    row: 8 StreamYOLO-l streams in 5.01 ms = 1597 frames/s/chip vs ~708 at
     b=1; int8 PTQ 1844 — measured on this class's steady-state program at
     the serving operating point). The reference can only scale streams by
     adding

@@ -23,6 +23,38 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_ranks(cmds, env, tmp_path, tag, timeout):
+    """Run one subprocess per command and wait for all.
+
+    Children write stdout/stderr to files (a PIPE could fill its ~64KB
+    buffer with XLA tracebacks and deadlock the undrained sibling), and a
+    try/finally kills any still-running child so a timeout cannot leak
+    processes that hold the distributed port.
+    """
+    procs, logs = [], []
+    try:
+        for r, cmd in enumerate(cmds):
+            log = open(tmp_path / f"{tag}_rank{r}.log", "w+")
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=log, stderr=subprocess.STDOUT, text=True,
+            ))
+        for r, p in enumerate(procs):
+            p.wait(timeout=timeout)
+        for r, (p, log) in enumerate(zip(procs, logs)):
+            log.seek(0)
+            assert p.returncode == 0, f"rank {r} failed:\n{log.read()}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            if p.poll() is None:
+                p.wait(timeout=30)
+        for log in logs:
+            log.close()
+
+
 @pytest.mark.slow
 def test_two_process_sharded_eval_gathers_both_halves(fake_argoverse, tmp_path):
     port = _free_port()
@@ -34,17 +66,12 @@ def test_two_process_sharded_eval_gathers_both_halves(fake_argoverse, tmp_path):
     )
     child = os.path.join(REPO, "tests", "_dist_eval_child.py")
     outs = [str(tmp_path / f"rank{r}.json") for r in (0, 1)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, child, str(r), fake_argoverse, str(port), outs[r]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for r in (0, 1)
-    ]
+    _run_ranks(
+        [[sys.executable, child, str(r), fake_argoverse, str(port), outs[r]]
+         for r in (0, 1)],
+        env, tmp_path, "eval", timeout=300,
+    )
     results = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=300)
-        assert p.returncode == 0, f"rank failed:\n{stdout}\n{stderr}"
     for path in outs:
         with open(path) as f:
             results.append(json.load(f))
@@ -82,16 +109,10 @@ def test_two_process_data_parallel_train_step_matches_single(tmp_path):
     )
     child = os.path.join(REPO, "tests", "_dist_train_child.py")
     outs = [str(tmp_path / f"train_rank{r}.json") for r in (0, 1)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, child, str(r), str(port), outs[r]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for r in (0, 1)
-    ]
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=600)
-        assert p.returncode == 0, f"rank failed:\n{stdout}\n{stderr}"
+    _run_ranks(
+        [[sys.executable, child, str(r), str(port), outs[r]] for r in (0, 1)],
+        env, tmp_path, "train", timeout=600,
+    )
     results = []
     for path in outs:
         with open(path) as f:

@@ -287,7 +287,8 @@ def test_calibration_transfers_across_layouts(tiny_stream_model,
 
 
 @pytest.mark.slow
-def test_int8_ptq_sap_bound_on_trained_model(tmp_path, tmp_path_factory):
+def test_int8_ptq_sap_bound_on_trained_model(tmp_path, tmp_path_factory,
+                                             request):
     """The FULL PTQ pipeline (train -> calibrate -> quantize -> evaluate)
     bounds the int8 accuracy cost: a tiny StreamYOLO trained for 200 steps on
     a drawn drifting-box video reaches sAP50 >= 0.5 on the ONEX offline
@@ -304,7 +305,11 @@ def test_int8_ptq_sap_bound_on_trained_model(tmp_path, tmp_path_factory):
     # Pin the host-side RNG the augmentations draw from (what tools/train.py
     # does when exp.seed is set): whether 200 SGD steps clear the sAP50
     # threshold must not depend on the global `random`/`np.random` state
-    # earlier tests happened to leave behind.
+    # earlier tests happened to leave behind. Snapshot first so tests that
+    # run AFTER this one see the global state they would have seen anyway.
+    py_state, np_state = random.getstate(), np.random.get_state()
+    request.addfinalizer(lambda: (random.setstate(py_state),
+                                  np.random.set_state(np_state)))
     random.seed(20240819)
     np.random.seed(20240819)
 

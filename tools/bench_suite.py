@@ -233,7 +233,8 @@ def bench_stream_int8(batch: int, n_samples: int, packed: bool = True):
                    "frames_per_sec": round(fps, 1)}}
 
 
-def bench_stream_sweep(batches, n_samples: int, int8: bool = False):
+def bench_stream_sweep(batches, n_samples: int, int8: bool = False,
+                       packed: bool = True):
     """Multi-stream scaling: the MultiStreamDetector steady-state program at
     n = 1..N independent 600x960 camera streams (batch rows = streams, star
     mask included for n > 1). Reports per-step latency, aggregate
@@ -246,8 +247,10 @@ def bench_stream_sweep(batches, n_samples: int, int8: bool = False):
     results = {}
     rows = []
     for b in batches:
-        fn = bench_stream_int8 if int8 else bench_stream
-        r = fn(b, n_samples) if int8 else fn("bf16", b, n_samples)
+        # bf16 always runs the packed layout (the production default);
+        # --no-packed only selects the raw int8 variant, same as stream_int8
+        r = (bench_stream_int8(b, n_samples, packed=packed) if int8
+             else bench_stream("bf16", b, n_samples))
         results.update(r)
         (name, stats), = r.items()
         rows.append((b, stats["ms_per_step"], stats["frames_per_sec"]))
@@ -570,7 +573,8 @@ def main():
     if args.which == "stream_sweep":
         batches = [int(b) for b in args.batches.split(",")]
         results.update(bench_stream_sweep(batches, args.samples,
-                                          int8=args.int8))
+                                          int8=args.int8,
+                                          packed=not args.no_packed))
     if args.which in ("serve8", "all"):
         results.update(bench_stream("bf16", args.batch or 8, args.samples))
     if args.which in ("eval_fwd", "all"):
