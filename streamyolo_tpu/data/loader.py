@@ -138,9 +138,20 @@ class DataLoader(torch.utils.data.DataLoader):
 class DevicePrefetcher:
     """Overlap host batch preparation with device compute by keeping one
     sharded batch in flight (the TPU analogue of the reference's CUDA
-    side-stream ``DataPrefetcher``)."""
+    side-stream ``DataPrefetcher``, `exps/train_utils/
+    double_data_prefetcher.py:23-47`).
+
+    The preload — pulling the next collated batch from the (worker-backed)
+    loader and issuing its async ``device_put`` — runs on a background
+    thread, so it happens *while the caller's dispatched device step is in
+    flight* rather than inside ``next()``. cv2/NumPy collate and the JAX
+    transfer all release the GIL, so the thread makes real progress even on
+    a busy host; ``next()`` just joins the thread and kicks the next one.
+    """
 
     def __init__(self, loader, mesh=None):
+        import threading
+
         from streamyolo_tpu.parallel import shard_batch
 
         self._mesh = mesh
@@ -148,8 +159,11 @@ class DevicePrefetcher:
             lambda b: b
         )
         self._it = iter(loader)
-        self._next = None
-        self._preload()
+        self._threading = threading
+        self._thread = None
+        self._result = None
+        self._error = None
+        self._kick()
 
     def _to_batch(self, raw):
         images, targets = raw[0], raw[1]
@@ -165,14 +179,32 @@ class DevicePrefetcher:
 
     def _preload(self):
         try:
-            self._next = self._to_batch(next(self._it))
+            self._result = self._to_batch(next(self._it))
         except StopIteration:
-            self._next = None
+            self._result = None
+        except BaseException as e:  # re-raised on the caller's thread
+            self._error = e
+            self._result = None
+
+    def _kick(self):
+        self._thread = self._threading.Thread(target=self._preload, daemon=True)
+        self._thread.start()
 
     def next(self):
-        batch = self._next
-        self._preload()
+        self._thread.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        batch = self._result
+        self._kick()
         return batch
+
+    def close(self):
+        """Wait out the in-flight preload (so callers can tear down the
+        underlying dataset/files without the thread racing a read)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._error = None
 
 
 class ShardDataset(torch.utils.data.Dataset):

@@ -188,8 +188,13 @@ def preproc(
     img: np.ndarray, input_size: Sequence[int]
 ) -> Tuple[np.ndarray, float]:
     """Letterbox-resize onto a 114-gray (input_h, input_w) canvas, top-left
-    anchored. Returns float32 **HWC** (TPU NHWC layout; the reference
-    transposes to CHW here) and the resize ratio."""
+    anchored. Returns **uint8 HWC** (TPU NHWC layout; the reference
+    transposes to CHW and floats here — `/root/reference/exps/data/
+    data_augment.py:142-158`) and the resize ratio. Keeping the host
+    pipeline uint8 is lossless (the resize is cast to uint8 either way) and
+    4x cheaper in host memory traffic, collate, and H2D than float32; the
+    model casts on device (`models/yolox.py`), where the cast fuses into
+    the stem's first read."""
     if len(img.shape) == 3:
         padded_img = np.ones((input_size[0], input_size[1], 3), dtype=np.uint8) * 114
     else:
@@ -202,7 +207,7 @@ def preproc(
         interpolation=cv2.INTER_LINEAR,
     ).astype(np.uint8)
     padded_img[: int(img.shape[0] * r), : int(img.shape[1] * r)] = resized_img
-    return np.ascontiguousarray(padded_img, dtype=np.float32), r
+    return np.ascontiguousarray(padded_img), r
 
 
 class TrainTransform:

@@ -97,7 +97,8 @@ class _StreamEvaluatorBase:
         """Run the full evaluation.
 
         Args:
-          forward_fn: jitted fn, NHWC image batch (float32) -> decoded
+          forward_fn: jitted fn, NHWC image batch (uint8 from the
+            loader — the model casts on device; float accepted) -> decoded
             predictions [B, N, 5 + num_classes] (obj/cls already sigmoided).
           distributed: gather per-process detections to every host before
             COCOeval. ``None`` (default) auto-detects multi-process runs the
@@ -138,9 +139,9 @@ class _StreamEvaluatorBase:
             if getattr(forward_fn, "needs_ids", False):
                 # sequential-dedup forward (eval/seq_forward.py) maps ids to
                 # the dataset's self-support boundary flags
-                preds = forward_fn(np.asarray(imgs, np.float32), ids)
+                preds = forward_fn(np.asarray(imgs), ids)
             else:
-                preds = forward_fn(np.asarray(imgs, np.float32))
+                preds = forward_fn(np.asarray(imgs))
             fixed = postprocess_fixed(
                 preds, self.num_classes, self.confthre, self.nmsthre
             )

@@ -334,6 +334,10 @@ class StreamExp(BaseExp):
         scale_x = tsize[1] / self.input_size[1]
         if scale_x == 1 and scale_y == 1:
             return inputs, targets
+        import jax.numpy as jnp
+
+        if not jnp.issubdtype(inputs.dtype, jnp.inexact):
+            inputs = inputs.astype(jnp.float32)  # uint8 host pipeline
         inputs = resize_bilinear_torch(inputs, (tsize[0], tsize[1]))
         scaled = []
         for t in targets:

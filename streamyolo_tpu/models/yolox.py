@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from streamyolo_tpu.models.dfp_pafpn import Buffer
@@ -49,6 +50,11 @@ class StreamYOLO(nn.Module):
         train: bool = False,
     ):
         assert mode in ("off_pipe", "on_pipe", "seq")
+        if not jnp.issubdtype(x.dtype, jnp.inexact):
+            # The host pipeline ships uint8 (4x less H2D + host memory
+            # traffic than float32; lossless — letterbox output is integral
+            # either way). XLA fuses this cast into the stem's first read.
+            x = x.astype(jnp.float32)
         if mode == "seq":
             # Sequential-dedup batched eval: one backbone pass per unique
             # frame (see DFPPAFPN mode='seq'); returns the [2,...] tail-frame

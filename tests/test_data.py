@@ -109,7 +109,7 @@ def test_val_transform_pair(fake_argoverse):
 def test_preproc_letterbox_matches_reference_semantics():
     img = np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
     out, r = preproc(img, (32, 64))
-    assert out.shape == (32, 64, 3) and out.dtype == np.float32
+    assert out.shape == (32, 64, 3) and out.dtype == np.uint8
     assert r == min(32 / 50, 64 / 60)
     nh, nw = int(50 * r), int(60 * r)
     assert np.all(out[nh:, :] == 114) and np.all(out[:, nw:] == 114)
@@ -124,7 +124,7 @@ def test_train_transform_flip_consistency():
     # mirrored cx + original cx == width (cxcywh encoding)
     assert lab_n[0, 1] + lab_f[0, 1] == pytest.approx(60.0)
     assert lab_n[0, 2] == pytest.approx(lab_f[0, 2])  # cy unchanged
-    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img[:, ::-1], np.float32))
+    np.testing.assert_array_equal(np.asarray(img_f), img[:, ::-1])
 
 
 def test_loader_roundtrip(fake_argoverse):
@@ -151,7 +151,76 @@ def test_loader_roundtrip(fake_argoverse):
     assert images.shape == (2, IMG_SIZE[0], IMG_SIZE[1], 6)
     assert labels.shape == (2, 50, 5)
     assert support_labels.shape == (2, 50, 5)
-    assert images.dtype == np.float32
+    assert images.dtype == np.uint8  # uint8 host pipeline: 4x less collate+H2D
+
+
+class _ListLoader:
+    """Minimal loader: yields (images, (labels, support)) tuples."""
+
+    def __init__(self, batches, delay_s=0.0):
+        self._batches = batches
+        self._delay = delay_s
+
+    def __iter__(self):
+        import time
+
+        for b in self._batches:
+            if self._delay:
+                time.sleep(self._delay)
+            yield b
+
+
+def _mk_batches(n):
+    return [
+        (np.full((2, 4, 4, 6), i, np.uint8),
+         (np.zeros((2, 5, 5), np.float32), np.ones((2, 5, 5), np.float32)))
+        for i in range(n)
+    ]
+
+
+def test_device_prefetcher_order_and_exhaustion():
+    from streamyolo_tpu.data import DevicePrefetcher
+
+    pf = DevicePrefetcher(_ListLoader(_mk_batches(3)))
+    for i in range(3):
+        b = pf.next()
+        assert b["images"][0, 0, 0, 0] == i
+        assert set(b) == {"images", "labels", "support_labels"}
+    assert pf.next() is None  # exhausted -> None, like the reference prefetcher
+
+
+def test_device_prefetcher_propagates_worker_errors():
+    from streamyolo_tpu.data import DevicePrefetcher
+
+    class _Boom:
+        def __iter__(self):
+            yield _mk_batches(1)[0]
+            raise RuntimeError("decode failed")
+
+    pf = DevicePrefetcher(_Boom())
+    pf.next()  # first batch fine
+    with pytest.raises(RuntimeError, match="decode failed"):
+        pf.next()
+
+
+def test_device_prefetcher_overlaps_host_prep_with_step():
+    """The preload thread must hide host batch prep behind a (simulated)
+    dispatched device step: wall/iter ~= max(prep, step), not prep + step."""
+    import time
+
+    from streamyolo_tpu.data import DevicePrefetcher
+
+    prep_s, step_s, n = 0.05, 0.05, 6
+    pf = DevicePrefetcher(_ListLoader(_mk_batches(n + 1), delay_s=prep_s))
+    pf.next()  # warm: first preload started at construction
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pf.next()
+        time.sleep(step_s)  # a dispatched TPU step: zero host CPU
+    wall = (time.perf_counter() - t0) / n
+    serial = prep_s + step_s
+    # generous bound (CI noise): full overlap is ~step_s, serial is 2x that
+    assert wall < 0.8 * serial, f"no overlap: {wall * 1e3:.0f} ms/iter"
 
 
 def test_shard_dataset(fake_argoverse):
