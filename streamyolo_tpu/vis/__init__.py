@@ -82,10 +82,92 @@ def vis_track(img, bboxes, tracks, labels, class_names, masks=None,
 
 
 def vis_contrast(img_a: np.ndarray, img_b: np.ndarray, axis: int = 1) -> np.ndarray:
-    """Side-by-side (or stacked) comparison canvas (`vis_contrast.py` role)."""
+    """Side-by-side (or stacked) comparison canvas. For the reference's
+    split-screen composite see :func:`contrast_composite`."""
     h = min(img_a.shape[0], img_b.shape[0])
     w = min(img_a.shape[1], img_b.shape[1])
     return np.concatenate([img_a[:h, :w], img_b[:h, :w]], axis=axis)
+
+
+# reference divider color is RGB [241, 159, 93]
+# (`/root/reference/sAP/vis/vis_contrast.py:107`); we draw BGR via cv2.
+_CONTRAST_LINE_BGR = (93, 159, 241)
+
+
+def ease_in_out(t: float) -> float:
+    """Cosine easing, time 0-1 -> progress 0-1 (`vis_contrast.py:42-43`)."""
+    return float(-np.cos(np.pi * t) / 2 + 0.5)
+
+
+def split_anime_swing(t: float, split_pos: float, length: int,
+                      line_width: int) -> float:
+    """The reference's 14-second swing animation for the split divider
+    (`vis_contrast.py:46-89`): hold at ``split_pos`` (4 s), sweep to the far
+    edge (1 s), hold (3 s), sweep all the way to the near edge (2 s), hold
+    (3 s), sweep back to ``split_pos`` (1 s); then hold."""
+    durations = [4, 1, 3, 2, 3, 1]
+    small_end = -line_width // 2 - 1
+    big_end = length + line_width // 2
+    keyframes = [split_pos, big_end, big_end, small_end, small_end, split_pos]
+    last_key = 0.0
+    start = split_pos
+    for dur, end in zip(durations, keyframes):
+        if t < last_key + dur:
+            if start == end:
+                return start
+            p = ease_in_out((t - last_key) / dur)
+            return start + p * (end - start)
+        last_key += dur
+        start = end
+    return split_pos
+
+
+def contrast_composite(
+    img_a: np.ndarray,
+    img_b: np.ndarray,
+    split_pos: float = 0.5,
+    horizontal: bool = False,
+    line_width: int = 15,
+    line_color=_CONTRAST_LINE_BGR,
+    split_in_pixels: bool = False,
+) -> np.ndarray:
+    """Split-screen composite of two same-size frames: ``img_a`` before the
+    divider, ``img_b`` after, with a colored divider band — the reference's
+    per-frame contrast rendering (`/root/reference/sAP/vis/vis_contrast.py:
+    120-168`). ``split_pos`` <= 1 is a fraction of the split axis, > 1 is
+    pixels (may exceed the frame during animations, like the reference);
+    ``split_in_pixels`` forces the pixel reading (animated positions can
+    legitimately land in [0, 1]); ``horizontal`` splits top/bottom instead
+    of left/right."""
+    assert img_a.shape == img_b.shape, (img_a.shape, img_b.shape)
+    h, w = img_a.shape[:2]
+    length = h if horizontal else w
+    if split_in_pixels:
+        pos = split_pos
+    else:
+        pos = split_pos if split_pos > 1 else length * split_pos
+    pos = int(round(pos))
+    line_start = pos - (line_width - 1) // 2
+    line_end = pos + line_width // 2  # exclusive after clamping, as upstream
+
+    if pos <= 0:
+        img = img_b.copy()
+    else:
+        img = img_a.copy()
+        if horizontal:
+            img[pos:] = img_b[pos:]
+        else:
+            img[:, pos:] = img_b[:, pos:]
+
+    if line_start < length and line_end >= 0:
+        line_start = max(0, line_start)
+        line_end = min(length, line_end)
+        color = np.asarray(line_color, img.dtype).reshape((1, 1, 3))
+        if horizontal:
+            img[line_start:line_end, :] = color
+        else:
+            img[:, line_start:line_end] = color
+    return img
 
 
 def make_video(

@@ -18,10 +18,12 @@ from streamyolo_tpu.data.dbcode import (
 )
 from streamyolo_tpu.stream.collect_summary import collect_summary
 from streamyolo_tpu.vis import (
+    contrast_composite,
     draw_detections,
     html_all_sequences,
     html_gallery,
     make_video,
+    split_anime_swing,
     vis_contrast,
     vis_det,
 )
@@ -55,6 +57,42 @@ def test_vis_contrast():
     b = np.ones((40, 50, 3), np.uint8)
     c = vis_contrast(a, b)
     assert c.shape == (40, 100, 3)
+
+
+def test_contrast_composite_split_and_divider():
+    a = np.zeros((40, 100, 3), np.uint8)
+    b = np.full((40, 100, 3), 200, np.uint8)
+    c = contrast_composite(a, b, split_pos=0.5, line_width=15)
+    assert c.shape == a.shape
+    # divider band: start = 50 - 7, end = 50 + 7 (exclusive), color BGR
+    assert np.all(c[:, 43:57] == np.array([93, 159, 241], np.uint8))
+    assert np.all(c[:, :43] == 0) and np.all(c[:, 57:] == 200)
+    # pixel-valued split (>1) and horizontal split
+    ch = contrast_composite(a, b, split_pos=10.0, horizontal=True,
+                            line_width=3)
+    assert np.all(ch[:9] == 0) and np.all(ch[12:] == 200)
+    # split at/below 0 -> all B (reference vis_contrast.py:149-150)
+    assert np.all(contrast_composite(a, b, split_pos=-5.0, line_width=1,
+                                     split_in_pixels=True)[:, 1:] == 200)
+
+
+def test_split_anime_swing_keyframes():
+    # durations [4,1,3,2,3,1]: hold, sweep to far edge, hold, sweep to near
+    # edge, hold, sweep home (reference vis_contrast.py:46-89)
+    pos, length, lw = 50.0, 100, 15
+    big_end = length + lw // 2
+    small_end = -lw // 2 - 1
+    assert split_anime_swing(0.0, pos, length, lw) == pos
+    assert split_anime_swing(3.9, pos, length, lw) == pos
+    mid = split_anime_swing(4.5, pos, length, lw)
+    assert pos < mid < big_end and mid == pytest.approx((pos + big_end) / 2)
+    assert split_anime_swing(6.0, pos, length, lw) == big_end
+    assert split_anime_swing(9.0, pos, length, lw) == pytest.approx(
+        (big_end + small_end) / 2)
+    assert split_anime_swing(11.0, pos, length, lw) == small_end
+    assert split_anime_swing(13.5, pos, length, lw) == pytest.approx(
+        (small_end + pos) / 2)
+    assert split_anime_swing(20.0, pos, length, lw) == pos
 
 
 def test_make_video(tmp_path):
@@ -204,4 +242,42 @@ def test_vis_results_cli(fake_argoverse, tmp_path, monkeypatch):
     vis_mod.main()
     assert os.path.isfile(out_dir / "seq0" / "f1.jpg")
     assert os.path.isfile(out_dir / "seq0.mp4")
+    assert os.path.isfile(out_dir / "index.html")
+
+
+def test_vis_results_cli_contrast(fake_argoverse, tmp_path, monkeypatch):
+    """--contrast: two experiments' pkls -> split-screen frames with each
+    pane carrying its own detections (reference sAP/vis/vis_contrast.py)."""
+    import pickle
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import importlib
+
+    vis_mod = importlib.import_module("vis_results")
+
+    ccf_a = [dict(image_id=1, category_id=2, bbox=[5.0, 20.0, 10.0, 8.0], score=0.9)]
+    ccf_b = [dict(image_id=1, category_id=3, bbox=[40.0, 20.0, 10.0, 8.0], score=0.8)]
+    path_a, path_b = tmp_path / "a.pkl", tmp_path / "b.pkl"
+    for p, ccf in ((path_a, ccf_a), (path_b, ccf_b)):
+        with open(p, "wb") as f:
+            pickle.dump(ccf, f)
+    out_dir = tmp_path / "vis_contrast"
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["vis_results.py",
+         "--data-root", os.path.join(fake_argoverse, "Argoverse-1.1", "tracking"),
+         "--annot-path", os.path.join(fake_argoverse, "Argoverse-HD/annotations/val.json"),
+         "--results", str(path_a), "--out-dir", str(out_dir),
+         "--contrast", str(path_b), "--split-animation", "swing",
+         "--score-th", "0.1", "--html"],
+    )
+    vis_mod.main()
+    frame = cv2.imread(str(out_dir / "seq0" / "f1.jpg"))
+    assert frame is not None
+    # the divider band must be present (f1 has fid 1 -> t≈0.03 s, split 0.5)
+    w = frame.shape[1]
+    band = frame[:, w // 2 - 3 : w // 2 + 3].reshape(-1, 3).astype(int)
+    assert (np.abs(band - [93, 159, 241]).max(axis=1) < 30).mean() > 0.9
     assert os.path.isfile(out_dir / "index.html")
