@@ -81,10 +81,14 @@ class BaseConv(nn.Module):
         # not during init: every collection is mutable there, and the sown
         # scalar would pollute the canonical variables tree
         if not self.is_initializing() and self.is_mutable_collection("calib"):
+            # per-INPUT-channel absmax [C]: the per-tensor scale is its max,
+            # and quantize_variables(per_channel_act=True) can fold the
+            # whole vector into the kernel (ptq.py) — one sow serves both
             self.sow(
                 "calib", "in_absmax",
-                jnp.max(jnp.abs(x.astype(jnp.float32))),
-                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum,
+                jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)),
+                init_fn=lambda: jnp.zeros(x.shape[-1], jnp.float32),
+                reduce_fn=jnp.maximum,
             )
         if self.has_variable("quant", "kernel_q"):
             if train:
@@ -119,7 +123,12 @@ class BaseConv(nn.Module):
     def _int8_conv(self, x: jax.Array, pad: int) -> jax.Array:
         """Symmetric int8 conv: x/act_scale and kernel_q are int8, the MXU
         accumulates int32, and the combined (act_scale * w_scale[c]) dequant
-        rides the epilogue. ``quant/ptq.py`` builds the collection."""
+        rides the epilogue. ``quant/ptq.py`` builds the collection.
+
+        ``act_scale`` is a scalar (per-tensor) or a [C_in] vector
+        (per-channel, broadcast over NHWC's last dim); in the vector case
+        the channel scales are already folded into ``kernel_q``, so the
+        epilogue multiplies by ``w_scale`` alone."""
         kq = self.get_variable("quant", "kernel_q")
         w_scale = self.get_variable("quant", "w_scale")
         act_scale = self.get_variable("quant", "act_scale")
@@ -137,7 +146,8 @@ class BaseConv(nn.Module):
             feature_group_count=self.groups,
             preferred_element_type=jnp.int32,
         )
-        return (y.astype(jnp.float32) * (act_scale * w_scale)).astype(self.dtype)
+        mult = w_scale if jnp.ndim(act_scale) else act_scale * w_scale
+        return (y.astype(jnp.float32) * mult).astype(self.dtype)
 
 
 class DWConv(nn.Module):

@@ -409,6 +409,11 @@ class PackedConvBN(nn.Module):
         kq = self.get_variable("quant", "kernel_q")
         w_scale = self.get_variable("quant", "w_scale")
         act_scale = self.get_variable("quant", "act_scale")
+        assert jnp.ndim(act_scale) == 0, (
+            "per-channel act scales are raw-layout only: the packed channel "
+            "order is a permutation of raw channels, so a [C] scale vector "
+            "would misalign — ptq.quantize_variables only emits the vector "
+            "for plain BaseConv calibrations (scalar here means per-tensor)")
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
         ).astype(jnp.int8)

@@ -49,10 +49,15 @@ _SCALE_FLOOR = 1e-8  # all-zero calibration input: keep the divide finite
 
 
 def _unwrap_sown(v):
-    # sow stores a tuple when no reduce_fn merged in-place
+    """Sown absmax leaf -> ndarray (scalar for packed convs, [C_in] for
+    BaseConv). sow stores a tuple when no reduce_fn merged in-place."""
     if isinstance(v, tuple):
-        return float(np.max([np.asarray(e) for e in v]))
-    return float(np.asarray(v))
+        arrs = [np.asarray(e, np.float32) for e in v]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.maximum(out, a)
+        return out
+    return np.asarray(v, np.float32)
 
 
 def calibrate_activations(
@@ -83,7 +88,7 @@ def calibrate_activations(
             _unwrap_sown, calib, is_leaf=lambda v: isinstance(v, tuple)
         )
         merged = calib if merged is None else jax.tree_util.tree_map(
-            max, merged, calib
+            np.maximum, merged, calib
         )
     if merged is None:
         raise ValueError("calibration needs at least one batch")
@@ -106,10 +111,12 @@ def quantize_variables(
     *,
     skip: Sequence[str] = (),
     strip: bool = False,
+    per_channel_act: bool = False,
 ) -> Dict[str, Any]:
     """Return serving variables with a ``'quant'`` collection: BN folded,
     every calibrated CBS conv re-emitted as ``kernel_q`` (int8 HWIO) +
-    ``w_scale`` (f32 per-out-channel) + ``act_scale`` (f32 scalar).
+    ``w_scale`` (f32 per-out-channel) + ``act_scale`` (f32 scalar, or
+    [C_in] vector with ``per_channel_act``).
 
     ``skip``: regexes matched against the '/'-joined module path — matching
     convs keep the full-precision path (e.g. ``skip=[r"stem"]``).
@@ -118,6 +125,22 @@ def quantize_variables(
     calibrated (sown) convs are quantized/stripped, and every consuming
     module (``BaseConv`` raw, ``PackedConvBN`` packed) reads ``kernel_q``
     instead of the placeholder when the 'quant' collection is present.
+    ``per_channel_act``: quantize activations with one scale per INPUT
+    channel instead of per tensor. The channel scales fold into the kernel
+    before its own per-out-channel quantization (y = conv(x/s_c, k*s_c)),
+    so the int8 conv and its epilogue cost exactly the same — only the
+    input divide becomes a [C] broadcast. Applies where the calibration
+    leaf is a per-channel vector matching the kernel's input extent (plain
+    ``BaseConv``); grouped convs and the packed layout (its calibration is
+    over PERMUTED packed channels) keep the per-tensor scale.
+
+    Measured trade-off (tests/test_quant.py::test_per_channel_act_*): the
+    fold spends weight-mantissa on the scale SPREAD across input channels,
+    so on well-behaved activations per-channel is ~2x WORSE in median
+    output error (both ~1e-3 of the output scale), while on skewed channel
+    ranges (a loud uninformative channel) it is >5x better. An option, not
+    the default — try it when calibration shows orders-of-magnitude range
+    differences across a conv's input channels.
     """
     variables = fuse_model_variables(variables)
     skip_res = [re.compile(s) for s in skip]
@@ -134,7 +157,14 @@ def quantize_variables(
             if any(r.search(joined) for r in skip_res):
                 return
             kernel = np.asarray(p_node["conv"]["kernel"], np.float32)
-            absmax = max(_unwrap_sown(c_node["in_absmax"]), _SCALE_FLOOR)
+            absmax = np.maximum(_unwrap_sown(c_node["in_absmax"]), _SCALE_FLOOR)
+            if per_channel_act and absmax.ndim == 1 \
+                    and kernel.shape[2] == absmax.shape[0]:
+                s_c = (absmax / 127.0).astype(np.float32)  # [C_in]
+                kernel = kernel * s_c[None, None, :, None]
+                act_scale = s_c
+            else:
+                act_scale = np.float32(float(absmax.max()) / 127.0)
             w_absmax = np.maximum(
                 np.abs(kernel).max(axis=(0, 1, 2)), _SCALE_FLOOR
             )
@@ -144,7 +174,7 @@ def quantize_variables(
             ).astype(np.int8)
             q_node["kernel_q"] = kernel_q
             q_node["w_scale"] = w_scale
-            q_node["act_scale"] = np.float32(absmax / 127.0)
+            q_node["act_scale"] = act_scale
             n_quantized += 1
             if strip:
                 p_node["conv"]["kernel"] = np.zeros((1, 1, 1, 1), np.float32)
@@ -172,8 +202,10 @@ def quantize_for_serving(
     *,
     skip: Sequence[str] = (),
     strip: bool = False,
+    per_channel_act: bool = False,
     **apply_kwargs,
 ) -> Dict[str, Any]:
     """Calibrate + quantize in one call; see the two steps above."""
     absmax = calibrate_activations(model, variables, batches, **apply_kwargs)
-    return quantize_variables(variables, absmax, skip=skip, strip=strip)
+    return quantize_variables(variables, absmax, skip=skip, strip=strip,
+                              per_channel_act=per_channel_act)

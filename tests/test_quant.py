@@ -281,8 +281,11 @@ def test_calibration_transfers_across_layouts(tiny_stream_model,
     shared = set(raw_leaves) & set(pkd_leaves)
     assert len(shared) > 20
     for key in shared:
+        # BaseConv sows per-channel [C] vectors, PackedConvBN per-tensor
+        # scalars over the PERMUTED packed channels; the per-tensor scale
+        # (the max) is what transfers across layouts
         np.testing.assert_allclose(
-            raw_leaves[key], pkd_leaves[key], rtol=1e-5,
+            np.max(raw_leaves[key]), np.max(pkd_leaves[key]), rtol=1e-5,
             err_msg=f"calibration mismatch at {key}")
 
 
@@ -386,3 +389,91 @@ def test_quantized_stream_detector(tiny_stream_model):
     bboxes, scores, labels, _ = det(frame, preprocessed=True)
     det(frame, preprocessed=True)  # buffer-carrying step
     assert len(bboxes) == len(scores) == len(labels)
+
+
+def test_per_channel_act_scales_beat_per_tensor_on_skewed_channels():
+    """The case per_channel_act exists for: one input channel is 1000x
+    louder than the rest but carries NO signal (its kernel slice is zero).
+    A per-tensor act scale is set by the loud channel and quantizes the
+    informative channels to ~nothing; per-channel scales keep them. The
+    per-channel int8 output must be decisively closer to fp."""
+    from streamyolo_tpu.quant import calibrate_activations, quantize_variables
+
+    rng = np.random.default_rng(1)
+    model = _single_conv_model(groups=1, out=8)
+    x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    x[..., 0] *= 1000.0  # channel 0 dominates the per-tensor absmax
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+    k = np.array(variables["params"]["conv"]["kernel"])
+    k[:, :, 0, :] = 0.0  # ...but is noise
+    variables["params"]["conv"]["kernel"] = k
+
+    absmax = calibrate_activations(model, variables, [x])
+    # the sown leaf is per-channel
+    leaf = np.asarray(absmax["in_absmax"])
+    assert leaf.shape == (4,) and leaf[0] > 100 * leaf[1:].max()
+
+    fp = np.asarray(model.apply(qvars_no_quant(
+        quantize_variables(dict(variables), absmax)), x))
+    q_pt = quantize_variables(dict(variables), absmax)
+    q_pc = quantize_variables(dict(variables), absmax, per_channel_act=True)
+    assert np.ndim(q_pt["quant"]["act_scale"]) == 0
+    assert np.asarray(q_pc["quant"]["act_scale"]).shape == (4,)
+    err_pt = np.abs(np.asarray(model.apply(q_pt, x)) - fp).mean()
+    err_pc = np.abs(np.asarray(model.apply(q_pc, x)) - fp).mean()
+    assert np.isfinite(err_pc) and err_pc < 0.2 * err_pt, (err_pc, err_pt)
+
+
+def test_per_channel_act_grouped_conv_falls_back_to_per_tensor():
+    """Grouped convs (kernel I != C_in) cannot fold a [C_in] scale vector;
+    the quantizer must silently keep the per-tensor scale there."""
+    from streamyolo_tpu.quant import calibrate_activations, quantize_variables
+
+    rng = np.random.default_rng(2)
+    model = _single_conv_model(groups=4, out=8)
+    x = rng.normal(size=(2, 6, 6, 4)).astype(np.float32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), x))
+    absmax = calibrate_activations(model, variables, [x])
+    qvars = quantize_variables(dict(variables), absmax, per_channel_act=True)
+    assert np.ndim(qvars["quant"]["act_scale"]) == 0
+    assert np.isfinite(np.asarray(model.apply(qvars, x))).all()
+
+
+def test_per_channel_act_full_model(tiny_stream_model):
+    """quantize_for_serving(per_channel_act=True) on the full StreamYOLO:
+    vector act scales land on the plain convs and the model serves all three
+    modes with errors on the per-tensor scale's order of magnitude.
+
+    Measured trade-off (documented in quant/ptq.py): folding the channel
+    scales into the kernel spends weight-mantissa on the scale spread, so on
+    well-behaved inputs per-channel is NOT automatically better (median
+    error here ~2x the per-tensor one, both ~1e-3 of the output scale); it
+    wins when input channel ranges are genuinely skewed (the test above).
+    Hence an option, not the default."""
+    from streamyolo_tpu.quant import quantize_for_serving
+
+    model, variables, x6 = tiny_stream_model
+    rng = np.random.default_rng(4)
+    batches = [rng.uniform(0, 255, x6.shape).astype(np.float32)]
+    q_pt = quantize_for_serving(model, dict(variables), batches)
+    q_pc = quantize_for_serving(model, dict(variables), batches,
+                                per_channel_act=True)
+    act_dims = [
+        np.ndim(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(q_pc["quant"])
+        if p[-1].key == "act_scale"
+    ]
+    assert max(act_dims) == 1 and act_dims.count(1) > 20
+
+    fp = np.asarray(model.apply(variables, x6, mode="off_pipe", train=False))
+    e_pt = np.abs(np.asarray(
+        model.apply(q_pt, x6, mode="off_pipe", train=False)) - fp)
+    e_pc = np.abs(np.asarray(
+        model.apply(q_pc, x6, mode="off_pipe", train=False)) - fp)
+    assert np.isfinite(e_pc).all()
+    # same order of magnitude as the per-tensor error (see docstring)
+    assert np.median(e_pc) <= np.median(e_pt) * 5.0
+
+    outs, buf = model.apply(q_pc, x6[..., :3], mode="on_pipe")
+    outs2, _ = model.apply(q_pc, x6[..., :3], buffer=buf, mode="on_pipe")
+    assert np.isfinite(np.asarray(outs2)).all()

@@ -119,6 +119,34 @@ def parse_entry(hlo_text: str):
 
 V5E_HZ = 940e6  # v5e core clock (cycle estimates -> time)
 
+_OP_NAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def module_share(hlo_text: str, pattern: str):
+    """Estimated-cycle share of instructions whose op_name metadata matches
+    ``pattern`` — per-module attribution (an instruction/fusion is charged
+    to the module of its representative op, the same accounting the r4
+    jian/bu_conv2 packing decision used). Returns (matched_cycles,
+    total_cycles) and prints the matching instructions."""
+    entry = parse_entry(hlo_text)
+    total = sum(cyc for _, _, _, _, cyc, _ in entry)
+    rx = re.compile(pattern)
+    matched = 0
+    rows = []
+    for name, opcode, rb, _, cyc, line in entry:
+        m = _OP_NAME_RE.search(line)
+        if m and rx.search(m.group(1)):
+            matched += cyc
+            if cyc:
+                rows.append((cyc, opcode, m.group(1)))
+    print(f"\n== module share: op_name ~ /{pattern}/ ==")
+    for cyc, opcode, opn in sorted(rows, reverse=True)[:12]:
+        print(f"  {cyc / V5E_HZ * 1e3:7.3f} ms-est  {opcode:12s} {opn[:90]}")
+    pct = 100.0 * matched / max(total, 1)
+    print(f"  matched {matched / V5E_HZ * 1e3:.3f} of "
+          f"{total / V5E_HZ * 1e3:.3f} ms-est = {pct:.2f}%")
+    return matched, total
+
 
 def analyze(hlo_text: str, top: int = 25):
     entry = parse_entry(hlo_text)
@@ -254,6 +282,10 @@ def main():
                    help="eval/stream only: raw-layout model")
     p.add_argument("--dump", help="also write the raw HLO text here")
     p.add_argument("--from-file", help="analyze an existing HLO dump instead")
+    p.add_argument("--module-share", metavar="REGEX",
+                   help="also report the estimated-cycle share of "
+                        "instructions whose op_name matches (e.g. 'stem' to "
+                        "size the fp-stem int8 exemption)")
     args = p.parse_args()
 
     if args.from_file:
@@ -265,6 +297,8 @@ def main():
         with open(args.dump, "w") as f:
             f.write(text)
     analyze(text, top=args.top)
+    if args.module_share:
+        module_share(text, args.module_share)
     return 0
 
 
