@@ -68,11 +68,19 @@ def support_shifts(dataset) -> np.ndarray:
 class SequentialDedupForward:
     """Drop-in ``forward_fn`` for ``BaseEvaluator.evaluate`` (it advertises
     ``needs_ids`` so the evaluator passes the batch's image ids; padded tail
-    rows self-fuse harmlessly and are sliced off downstream)."""
+    rows self-fuse harmlessly and are sliced off downstream).
+
+    ``verify_fn`` (the off_pipe forward over the same variables) arms a
+    first-batch parity assertion: the first batch is also run dual-frame and
+    the decoded predictions must agree within ``verify_tol`` — the in-run
+    guard for making dedup the DEFAULT eval path. The first batch covers the
+    hardest rows (fid==0 self-support boundaries), and any wiring error
+    (wrong shifts, stale carry, mismatched variables) shows up there."""
 
     needs_ids = True
 
-    def __init__(self, model, variables: Dict[str, Any], dataset, jit_fn=None):
+    def __init__(self, model, variables: Dict[str, Any], dataset, jit_fn=None,
+                 verify_fn=None, verify_tol=(1e-4, 1e-4)):
         import jax
 
         self._model = model
@@ -81,6 +89,8 @@ class SequentialDedupForward:
         self._id_to_idx = {int(v): k for k, v in enumerate(dataset.ids)}
         self._carry = None
         self._saw_partial = False
+        self._verify_fn = verify_fn
+        self._verify_tol = verify_tol
 
         def run(v, frames, carry, shifts):
             return model.apply(
@@ -122,4 +132,32 @@ class SequentialDedupForward:
         preds, self._carry = self._jit(
             self._variables, images[..., :3], self._carry, shifts
         )
+        if self._verify_fn is not None:
+            self._assert_first_batch_parity(images, preds, n_real)
+            self._verify_fn = None
         return preds
+
+    def _assert_first_batch_parity(self, images, preds, n_real: int):
+        """Run the dual-frame (off_pipe) forward on the same batch and assert
+        the decoded predictions agree — box channels and score channels
+        checked separately (boxes are pixel-scale, scores are sigmoided)."""
+        from streamyolo_tpu.utils.logger import get_logger
+
+        atol_box, atol_score = self._verify_tol
+        want = np.asarray(self._verify_fn(images), np.float32)[:n_real]
+        got = np.asarray(preds, np.float32)[:n_real]
+        box_diff = float(np.abs(got[..., :4] - want[..., :4]).max())
+        score_diff = float(np.abs(got[..., 4:] - want[..., 4:]).max())
+        if box_diff > atol_box or score_diff > atol_score:
+            raise AssertionError(
+                "sequential-dedup eval disagrees with the dual-frame forward "
+                f"on the first batch: max box diff {box_diff:.3e} px (tol "
+                f"{atol_box:g}), max score diff {score_diff:.3e} (tol "
+                f"{atol_score:g}). The dedup carry/shift wiring does not "
+                "match this dataset's pairing — rerun with --no-dedup and "
+                "report the config."
+            )
+        get_logger().info(
+            "dedup parity check passed on the first batch: "
+            f"max box diff {box_diff:.2e} px, max score diff {score_diff:.2e}"
+        )

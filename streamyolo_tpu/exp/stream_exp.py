@@ -97,13 +97,18 @@ class StreamExp(BaseExp):
         return self.model
 
     def init_model(self, model=None, rng: Optional[int] = None):
-        """Initialize variables on a tiny canvas (shape-agnostic conv params)."""
+        """Initialize variables on a tiny canvas (shape-agnostic conv params).
+
+        Jitted: one compiled program instead of eager op-by-op execution —
+        on a remote-attached device (the axon relay) eager init pays a host
+        round trip per op, turning a <1 s init into minutes."""
         import jax
 
         model = model or self.get_model()
         key = jax.random.PRNGKey(self.seed or 0 if rng is None else rng)
         dummy = np.zeros((1, 64, 96, 6), np.float32)
-        return model.init(key, dummy, mode="off_pipe", train=False)
+        return jax.jit(model.init, static_argnames=("mode", "train"))(
+            key, dummy, mode="off_pipe", train=False)
 
     def get_forward_fn(self, model, variables, mode: str = "off_pipe"):
         """Jitted eval forward: NHWC float batch -> decoded [B, N, 5+C].
@@ -125,14 +130,27 @@ class StreamExp(BaseExp):
             )
         return functools.partial(cache[mode], variables)
 
-    def get_dedup_forward_fn(self, model, variables, dataset):
+    def get_dedup_forward_fn(self, model, variables, dataset,
+                             verify_first_batch: bool = True):
         """Sequential-dedup eval forward (one backbone pass per unique frame,
         `eval/seq_forward.py`). The jitted seq program is cached on the exp
         like ``get_forward_fn``'s, so the Trainer's per-epoch eval with fresh
         EMA weights reuses the compiled executable. Requires a sequential,
-        unsharded val traversal (ONE/TWO pairing, single process)."""
+        unsharded val traversal (ONE/TWO pairing, single process).
+
+        ``verify_first_batch`` (default on — dedup is the default eval path)
+        arms the first-batch parity assertion against the dual-frame
+        off_pipe forward over the SAME variables; tolerances scale with the
+        compute dtype (bf16 trunks round differently under the two batch
+        layouts, fp32 agrees to ~1e-5)."""
         from streamyolo_tpu.eval import SequentialDedupForward
 
+        verify_fn = None
+        verify_tol = (1e-4, 1e-4)
+        if verify_first_batch:
+            verify_fn = self.get_forward_fn(model, variables)
+            if str(getattr(self, "compute_dtype", "float32")) != "float32":
+                verify_tol = (1.0, 5e-3)  # bf16: ~8-bit mantissa, px-scale boxes
         # Cache keyed on the model instance: the jitted closure captures the
         # model, so reusing it for a different model would silently run the
         # first one's program.
@@ -140,7 +158,8 @@ class StreamExp(BaseExp):
         if cache is None:
             cache = self._seq_forward_jit_cache = {}
         fwd = SequentialDedupForward(
-            model, variables, dataset, jit_fn=cache.get(id(model))
+            model, variables, dataset, jit_fn=cache.get(id(model)),
+            verify_fn=verify_fn, verify_tol=verify_tol,
         )
         cache[id(model)] = fwd.jit_fn
         return fwd

@@ -356,13 +356,15 @@ class Trainer:
                 "batch_stats": self.state.batch_stats,
             }
         if (
-            getattr(self.args, "dedup", False)
+            not getattr(self.args, "no_dedup", False)
             and jax.process_count() == 1
             and getattr(self.exp, "evaluator_name", None) in ("onex", "twox")
         ):
-            # Halve per-epoch eval backbone FLOPs (one pass per unique frame);
-            # needs the unsharded sequential val traversal, so single-process
-            # and a ONE/TWO pairing only.
+            # Default: halve per-epoch eval backbone FLOPs (one pass per
+            # unique frame); needs the unsharded sequential val traversal, so
+            # single-process and a ONE/TWO pairing only. The wrapper asserts
+            # first-batch parity vs the dual-frame forward every epoch (fresh
+            # EMA weights each time), reusing one compiled seq program.
             forward_fn = self.exp.get_dedup_forward_fn(
                 self.model, eval_variables, self.evaluator.dataset
             )

@@ -298,6 +298,51 @@ def test_eval_cli_int8_speed_mode(tmp_path, monkeypatch):
     assert "speed test:" in log
 
 
+def test_eval_cli_dedup_default_and_escape(fake_argoverse, tmp_path, monkeypatch):
+    """Sequential-dedup is the DEFAULT eval forward for single-process
+    ONE/TWO pairings (with the in-run first-batch parity assertion), and
+    --no-dedup escapes to the dual-frame forward with identical AP."""
+    import importlib
+    import pickle
+    import re
+
+    from tests.conftest import FAKE_IMG_SIZE
+
+    from streamyolo_tpu.exp import get_exp
+
+    cfg = os.path.join(REPO, "cfgs", "s_s50_onex_dfp_tal_flip.py")
+    base_opts = ["data_num_workers", "0", "data_dir", fake_argoverse,
+                 "input_size", repr(tuple(FAKE_IMG_SIZE)),
+                 "test_size", repr(tuple(FAKE_IMG_SIZE)),
+                 "width", "0.25", "packed", "False"]
+    exp = get_exp(cfg)
+    exp.merge(base_opts + ["output_dir", str(tmp_path / "dedup")])
+    variables = exp.init_model(exp.get_model())
+    ckpt = tmp_path / "w.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": variables}, f)
+
+    eval_mod = importlib.import_module("eval")
+    aps = {}
+    for sub, extra in (("dedup", []), ("dual", ["--no-dedup"])):
+        out = tmp_path / sub
+        monkeypatch.setattr(
+            sys, "argv",
+            ["eval.py", "-f", cfg, "-b", "4", "-c", str(ckpt)] + extra
+            + base_opts + ["output_dir", str(out)],
+        )
+        eval_mod.main()
+        log = open(os.path.join(
+            str(out), "s_s50_onex_dfp_tal_flip", "val_log.txt")).read()
+        if sub == "dedup":
+            assert "sequential-dedup eval" in log
+            assert "dedup parity check passed" in log
+        else:
+            assert "sequential-dedup eval" not in log
+        aps[sub] = re.search(r"AP: ([\d.]+)  AP50: ([\d.]+)", log).groups()
+    assert aps["dedup"] == aps["dual"]
+
+
 def test_eval_cli_int8_full_eval(fake_argoverse, tmp_path, monkeypatch):
     """--int8 without --speed: calibrates on real val batches (the loader is
     iterated once for calibration and again for the eval) and completes a

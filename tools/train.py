@@ -50,9 +50,14 @@ def make_parser():
                              "(wandb-* 'key value' pairs in opts configure the run)")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--dedup", dest="dedup", default=False, action="store_true",
-                        help="sequential-dedup per-epoch eval: one backbone "
-                             "pass per unique frame (single process, ONE/TWO "
-                             "pairing only)")
+                        help="accepted for compatibility: sequential-dedup "
+                             "per-epoch eval is now the DEFAULT (single "
+                             "process, ONE/TWO pairing; auto-falls-back "
+                             "otherwise)")
+    parser.add_argument("--no-dedup", dest="no_dedup", default=False,
+                        action="store_true",
+                        help="per-epoch eval with the dual-frame (off_pipe) "
+                             "forward instead of the sequential-dedup one")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="extra 'key value' Exp overrides")
     return parser
