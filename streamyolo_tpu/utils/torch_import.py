@@ -87,6 +87,61 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     return state_dict_to_variables(state_dict)
 
 
+def flax_path_to_torch(collection: str, path: Tuple[str, ...], ndim: int) -> Tuple[str, Optional[Tuple[int, ...]]]:
+    """Inverse of ``torch_key_to_flax``: one flax variables leaf -> (torch
+    state_dict key, transpose to apply).
+
+    The segment inverse maps trailing ``_<digits>`` back to ``.<digits>``
+    (repeatedly: ``m_0_1`` -> ``m.0.1``). That is unambiguous for this model
+    tree because the mirrored torch module names never END in ``_<digits>``
+    themselves (yolox attaches digits without an underscore: ``bu_conv2``,
+    ``C3_p4``); the round-trip test in tests/test_aux.py proves it leaf by
+    leaf on the real model."""
+    segments = []
+    for seg in path[:-1]:
+        parts = seg.split("_")
+        i = len(parts)
+        while i > 1 and parts[i - 1].isdigit():
+            i -= 1
+        segments.append("_".join(parts[:i]))
+        segments.extend(parts[i:])
+    leaf = path[-1]
+    prefix = ".".join(segments)
+    if collection == "batch_stats":
+        assert leaf in ("mean", "var"), (collection, path)
+        return f"{prefix}.running_{leaf}", None
+    if leaf == "kernel":
+        if ndim == 4:  # HWIO -> OIHW
+            return f"{prefix}.weight", (3, 2, 0, 1)
+        if ndim == 2:  # flax Dense [in, out] -> torch Linear [out, in]
+            return f"{prefix}.weight", (1, 0)
+        return f"{prefix}.weight", None
+    if leaf == "scale":
+        return f"{prefix}.weight", None
+    if leaf == "bias":
+        return f"{prefix}.bias", None
+    raise KeyError(f"Unrecognized flax parameter leaf: {collection}/{'/'.join(path)}")
+
+
+def variables_to_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Convert flax variables {'params', 'batch_stats'} to a torch-layout
+    state_dict of ndarrays (torch names, OIHW convs) — the interchange
+    EXPORT direction. ``num_batches_tracked`` entries are not emitted (torch
+    loads fine without them via ``strict=False``, and the reference's
+    ``load_ckpt`` ignores them)."""
+    from flax.traverse_util import flatten_dict
+
+    out: Dict[str, np.ndarray] = {}
+    for full_path, value in flatten_dict(variables).items():
+        collection, path = full_path[0], full_path[1:]
+        arr = np.asarray(value)
+        key, transpose = flax_path_to_torch(collection, path, arr.ndim)
+        if transpose is not None:
+            arr = arr.transpose(transpose)
+        out[key] = np.ascontiguousarray(arr)
+    return out
+
+
 def merge_variables(
     target: Mapping[str, Any], loaded: Mapping[str, Any], strict: bool = True
 ) -> Dict[str, Any]:
