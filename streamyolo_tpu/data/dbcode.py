@@ -133,6 +133,7 @@ def make_synthetic_argoverse(
     fps: float = 30.0,
     seed: int = 0,
     splits: Sequence[str] = ("val.json",),
+    obj_frac: Sequence[float] = (1 / 16, 1 / 6),
 ) -> str:
     """Materialize a deterministic Argoverse-HD-format video dataset under
     ``root``: ``Argoverse-1.1/tracking/<seq>/<frame>.jpg`` frames plus
@@ -169,9 +170,11 @@ def make_synthetic_argoverse(
             interpolation=cv2.INTER_LINEAR,
         )
         objs = []
+        lo, hi = obj_frac  # object extent as a fraction of the frame
         for _ in range(n_objects):
-            bw = int(rng.randint(w // 16, w // 6))
-            bh = int(rng.randint(h // 12, h // 5))
+            bw = int(rng.randint(max(2, int(w * lo)), max(3, int(w * hi))))
+            bh = int(rng.randint(max(2, int(h * lo * 1.3)),
+                                 max(3, int(h * hi * 1.3))))
             objs.append(dict(
                 x=float(rng.randint(0, w - bw)), y=float(rng.randint(0, h - bh)),
                 vx=float(rng.uniform(1, 4) * rng.choice([-1, 1])),
