@@ -259,6 +259,15 @@ class TPUStreamDetector:
         self.aot_loaded = False
         self.variables = jax.device_put(variables)
         compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        model_dtype = getattr(getattr(model, "backbone", None), "dtype", None)
+        if use_bf16 and model_dtype == jnp.float32:
+            # the step casts only the INPUT; fp32-built flax modules promote
+            # straight back, silently running the whole trunk fp32 (~20x on
+            # a v5e). Build the model bf16 (exp.compute_dtype='bfloat16').
+            get_logger().warning(
+                "use_bf16=True but the model's modules are built fp32 — the "
+                "trunk will compute fp32 anyway; set "
+                "exp.compute_dtype='bfloat16' before get_model()")
 
         _step = _build_stream_step(
             model, num_classes=num_classes, conf_thre=conf_thre,

@@ -69,6 +69,23 @@ def test_perfect_detector_latency_cost_monotone(tmp_path, monkeypatch):
     assert slow["sAP50"] < fast["sAP50"]
 
 
+def test_measure_chain_harvests_device_step(tmp_path, monkeypatch):
+    """--measure-chain: the zoo entry comes from the chained-dispatch
+    measurement (bench.py methodology) instead of per-call wall times —
+    samples must be positive, finite, and actually drive the run."""
+    out, summary = _run(
+        tmp_path, monkeypatch, "chain",
+        ["--measure-chain", "2", "--conf", "1e-5", "--pgt-score-th", "1e-5",
+         "width", "0.25", "depth", "0.33", "packed", "False"],
+    )
+    with open(out / "runtime_zoo.pkl", "rb") as f:
+        (entry,) = pickle.load(f).values()
+    assert len(entry["samples"]) >= 2
+    assert all(0 < s < 10 for s in entry["samples"])
+    assert summary["latency_ms"]["mean"] > 0
+    assert summary["frames"]["total"] == 50
+
+
 def test_real_detector_oracle_gt_chain(tmp_path, monkeypatch):
     """The real-detector rehearsal (TPUStreamDetector under SimClock, pseudo
     ground truth from its own zero-latency run) exercises model, zoo,

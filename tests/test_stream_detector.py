@@ -44,6 +44,25 @@ def tiny_detector(tiny_model):
     return _make_detector(tiny_model)
 
 
+def test_use_bf16_with_fp32_model_warns(tiny_model, caplog):
+    """use_bf16=True casts only the input; fp32-built flax modules promote
+    straight back and the trunk silently runs fp32 (~20x slower on TPU) —
+    the detector must warn so the CLI-level fix (build the model bf16,
+    exp.compute_dtype='bfloat16') is discoverable. The streaming CLIs
+    (stream_det/offline_det/sap_rehearsal) set it by default."""
+    import logging
+
+    from streamyolo_tpu.stream import TPUStreamDetector
+
+    model, variables = tiny_model
+    with caplog.at_level(logging.WARNING, logger="streamyolo_tpu"):
+        TPUStreamDetector(
+            model, variables, input_size=(FAKE_H // 2, FAKE_W // 2),
+            in_scale=0.5, conf_thre=0.05, nms_thre=0.5, num_classes=8,
+            pre_nms_topk=32, use_bf16=True)
+    assert any("built fp32" in r.message for r in caplog.records)
+
+
 def test_tpu_stream_detector_contract(tiny_detector):
     det = tiny_detector
     det.warmup(2)

@@ -26,6 +26,8 @@ def parse_args():
     parser.add_argument("--nms", type=float, default=0.65)
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--no-eval", action="store_true", default=False)
+    parser.add_argument("--fp32", action="store_true", default=False,
+                        help="disable bf16 (reference uses fp16 half)")
     return parser.parse_args()
 
 
@@ -42,6 +44,8 @@ def main():
 
     db = COCO(args.annot_path)
     exp = get_exp(args.config)
+    if not args.fp32:
+        exp.compute_dtype = "bfloat16"  # bf16 modules, not just a bf16 input
     model = exp.get_model()
     variables = exp.init_model(model)
     ckpt = load_checkpoint(args.weights)

@@ -74,6 +74,12 @@ def parse_args():
     p.add_argument("--measure", type=int, default=0, metavar="N",
                    help="measure N per-call latencies of the real detector "
                         "on the current backend as the zoo samples")
+    p.add_argument("--measure-chain", type=int, default=0, metavar="N",
+                   help="measure the DEVICE per-step time with bench.py's "
+                        "methodology (N samples, each a dependency-chained "
+                        "run of 50 full steps synced once) — the honest "
+                        "harvest through a remote relay, where per-call "
+                        "--measure pays a ~30 ms host sync per frame")
     p.add_argument("--perf-factor", type=float, default=1.0)
     # protocol
     p.add_argument("--fps", type=float, default=30.0)
@@ -121,6 +127,58 @@ def _offline_ccf(db, data_root, detector):
                     image_id=img["id"], bbox=[float(v) for v in ltwh[i]],
                     score=float(scores[i]), category_id=int(labels[i])))
     return results_ccf
+
+
+def _measure_chained_step(model, variables, exp, args, input_size, n_samples):
+    """Device per-step time via bench.py's methodology, tuned for small
+    models: ONE jitted ``lax.fori_loop`` chain of K=50 full steps (on_pipe
+    forward consuming the previous step's DFP buffer + fixed-shape NMS,
+    reduced so nothing dead-codes) per sample, one dispatch, one host sync —
+    a remote relay charges each DISPATCH of a many-leaf variables tree tens
+    of ms (measured: the same 50 steps cost ~27 ms as one dispatch and
+    ~1300 ms as five), so the sample must amortize the dispatch, not just
+    the sync. Returns per-sample mean step times (seconds); the min is the
+    uncontended estimate and still carries ~1/K of one dispatch as floor."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from streamyolo_tpu.ops.nms import postprocess_fixed
+
+    K, R = 50, 1
+    h, w = input_size
+    dt = jnp.float32 if args.fp32 else jnp.bfloat16
+    topk = getattr(exp, "pre_nms_topk", 200)
+
+    @jax.jit
+    def chain(v, x, b):
+        def body(i, carry):
+            b, acc = carry
+            preds, nb = model.apply(v, x.astype(dt), buffer=b, mode="on_pipe")
+            dets = postprocess_fixed(
+                preds, num_classes=exp.num_classes, conf_thre=args.conf,
+                nms_thre=args.nms, pre_nms_topk=topk)
+            return nb, acc + jnp.sum(dets.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, K, body, (b, jnp.float32(0)))
+
+    img = np.random.RandomState(0).randint(0, 255, (1, h, w, 3)).astype(np.uint8)
+    image = jax.device_put(img)
+    _, buf = jax.jit(
+        lambda v, x: model.apply(v, x.astype(dt), mode="on_pipe")
+    )(variables, image)
+    buf, acc = chain(variables, image, buf)
+    float(acc)  # compile + warm
+    samples = []
+    for _ in range(max(n_samples, 2)):
+        t0 = _time.perf_counter()
+        for _ in range(R):
+            buf, acc = chain(variables, image, buf)
+        float(acc)
+        samples.append((_time.perf_counter() - t0) / (R * K))
+    return samples
 
 
 def _run_perfect_streaming(db, out_dir, runtime_dist, fps=30.0, det_stride=1,
@@ -209,11 +267,16 @@ def main():
     img0 = next(iter(db.imgs.values()))
     detector = None
     if args.perfect_detector:
-        assert not args.measure, "--measure needs the real detector"
+        assert not (args.measure or args.measure_chain), \
+            "--measure/--measure-chain need the real detector"
         args.gt = "annotations"
     else:
         exp = get_exp(args.config)
         exp.merge(args.opts)
+        if not args.fp32:
+            # build the model bf16: the detector's input cast alone would
+            # promote back to fp32 inside fp32-built flax modules
+            exp.compute_dtype = "bfloat16"
         model = exp.get_model()
         variables = exp.init_model(model)
         if args.weights:
@@ -252,10 +315,18 @@ def main():
         print(f"[2/5] measured {len(samples)} per-call latencies: "
               f"mean {1e3 * np.mean(samples):.2f} ms, "
               f"p99 {1e3 * np.percentile(samples, 99):.2f} ms "
-              "(includes host sync; on the axon relay prefer --latency-ms "
-              "from bench.py's chained device step)")
+              "(includes host sync; through a remote relay prefer "
+              "--measure-chain for the device step)")
+    elif args.measure_chain:
+        samples = _measure_chained_step(
+            model, variables, exp, args, (h, w), args.measure_chain)
+        print(f"[2/5] chained device step: min "
+              f"{1e3 * np.min(samples):.3f} ms, median "
+              f"{1e3 * np.median(samples):.3f} ms over "
+              f"{len(samples)} samples of 50 chained steps each")
     else:
-        raise SystemExit("need a latency source: --latency-ms, --zoo, or --measure")
+        raise SystemExit("need a latency source: --latency-ms, --zoo, "
+                         "--measure, or --measure-chain")
     zoo = {}
     if os.path.isfile(zoo_path):
         with open(zoo_path, "rb") as f:

@@ -64,6 +64,11 @@ def main():
 
     db = COCO(args.annot_path)
     exp = get_exp(args.config)
+    if not args.fp32:
+        # the detector casts the INPUT to bf16, but flax modules built
+        # fp32 promote right back — the model must be built bf16 too
+        # (measured ~20x on the step; `bench.py` builds bf16 directly)
+        exp.compute_dtype = "bfloat16"
     model = exp.get_model()
     variables = exp.init_model(model)
     ckpt = load_checkpoint(args.weights)
