@@ -154,6 +154,14 @@ class DevicePrefetcher:
 
         from streamyolo_tpu.parallel import shard_batch
 
+        # Re-entrant: the Trainer restarts an exhausted prefetcher by calling
+        # __init__ again. Join any in-flight preload FIRST — otherwise the old
+        # thread can observe the fresh self._it and race the new preload on a
+        # (non-thread-safe) DataLoader iterator, or clobber self._result.
+        prior = getattr(self, "_thread", None)
+        if prior is not None:
+            prior.join()
+
         self._mesh = mesh
         self._shard = (lambda b: shard_batch(b, mesh)) if mesh is not None else (
             lambda b: b
@@ -191,12 +199,16 @@ class DevicePrefetcher:
         self._thread.start()
 
     def next(self):
+        if self._thread is None:  # exhausted (or errored) and not restarted
+            return None
         self._thread.join()
+        self._thread = None
         if self._error is not None:
             err, self._error = self._error, None
             raise err
-        batch = self._result
-        self._kick()
+        batch, self._result = self._result, None
+        if batch is not None:  # never kick a dead iterator
+            self._kick()
         return batch
 
     def close(self):

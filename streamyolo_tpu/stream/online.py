@@ -64,6 +64,20 @@ def _build_stream_step(model, *, num_classes, conf_thre, nms_thre,
     return _step
 
 
+def _warn_if_fp32_built(model, use_bf16: bool) -> None:
+    """The streaming steps cast only the INPUT; fp32-built flax modules
+    promote straight back, silently running the whole trunk fp32 (~20x on a
+    v5e). Shared by both detector constructors."""
+    import jax.numpy as jnp
+
+    model_dtype = getattr(getattr(model, "backbone", None), "dtype", None)
+    if use_bf16 and model_dtype == jnp.float32:
+        get_logger().warning(
+            "use_bf16=True but the model's modules are built fp32 — the "
+            "trunk will compute fp32 anyway; set "
+            "exp.compute_dtype='bfloat16' before get_model()")
+
+
 def _stream_aot_key(model, variables, image_shape, **config) -> str:
     """Content key for the detector's serialized executables: model
     hyperparams (flax module repr), variables avals, the exact input shape,
@@ -259,15 +273,7 @@ class TPUStreamDetector:
         self.aot_loaded = False
         self.variables = jax.device_put(variables)
         compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-        model_dtype = getattr(getattr(model, "backbone", None), "dtype", None)
-        if use_bf16 and model_dtype == jnp.float32:
-            # the step casts only the INPUT; fp32-built flax modules promote
-            # straight back, silently running the whole trunk fp32 (~20x on
-            # a v5e). Build the model bf16 (exp.compute_dtype='bfloat16').
-            get_logger().warning(
-                "use_bf16=True but the model's modules are built fp32 — the "
-                "trunk will compute fp32 anyway; set "
-                "exp.compute_dtype='bfloat16' before get_model()")
+        _warn_if_fp32_built(model, use_bf16)
 
         _step = _build_stream_step(
             model, num_classes=num_classes, conf_thre=conf_thre,
@@ -478,6 +484,7 @@ class MultiStreamDetector:
         self.aot_loaded = False
         self.variables = jax.device_put(variables)
         compute_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        _warn_if_fp32_built(model, use_bf16)
 
         _step = _build_multi_stream_step(
             model, num_classes=num_classes, conf_thre=conf_thre,

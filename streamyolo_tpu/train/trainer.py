@@ -257,7 +257,9 @@ class Trainer:
         iter_start = time.perf_counter()
         batch = prefetcher.next()
         if batch is None:
-            prefetcher_cls = type(prefetcher)
+            # epoch wrap: restart the prefetcher on a fresh loader iterator
+            # (DevicePrefetcher.__init__ is re-entrant — it joins any
+            # in-flight preload before swapping the iterator)
             prefetcher.__init__(self.train_loader, mesh=self.mesh)
             batch = prefetcher.next()
         data_end = time.perf_counter()

@@ -298,7 +298,12 @@ def main():
         samples = [float(v) / 1e3 for v in args.latency_ms.split(",")]
     elif args.zoo:
         with open(args.zoo, "rb") as f:
-            samples = list(pickle.load(f)[args.zoo_name]["samples"])
+            entries = pickle.load(f)
+        if name not in entries:
+            raise SystemExit(
+                f"zoo entry '{name}' not in {args.zoo} "
+                f"(has: {sorted(entries)}); pick one with --zoo-name")
+        samples = list(entries[name]["samples"])
     elif args.measure:
         import jax
 
